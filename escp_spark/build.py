@@ -1,0 +1,463 @@
+"""Index build pipeline — the escp copy-job analog (jobs/escopyjob.go:83-216).
+
+Where escp scans an ES index and bulk-writes documents into another ES index
+(letting Lucene build the inverted index), this pipeline scans the
+``web_pages`` corpus and builds the inverted index itself, Spark-first:
+
+  scan → last-write-wins dedup → html→text extraction (Arrow UDF) →
+  deterministic md5 bucketing → per-bucket segment build (applyInPandas,
+  numpy codec) → dictionary/stats aggregation → merge → atomic publish
+
+escp behaviors carried over:
+- **Resumable units of work** (esscroll.go:129 + 293-294 "Continue" stub →
+  realized): work is split into ``n_groups`` bucket groups; each group's
+  artifacts are written idempotently (overwrite of a group-scoped dir) and
+  recorded in an append-only checkpoint **ledger** with doc/byte counters
+  and input-snapshot lineage. A restarted build anti-joins the ledger and
+  skips committed groups.
+- **Doc/byte counters + progress** (esscroll.go:197-275): per-group log
+  lines and ledger columns ``docs``/``bytes``.
+- **Explicit parallelism/skew control** (cmd/escp/main.go:103-105,
+  estypes.go:104-116): ``n_buckets`` is the shard-count analog; buckets are
+  md5-uniform over urls so segment build has no key skew by construction;
+  per-term skew inside a bucket is bounded by the bucket's doc count.
+- **Build-then-optimize lifecycle** (escopyjob.go:139-141/183-195 +
+  esindex/optimize.go:13-28): level-0 segments are merged down to
+  ``max_segments`` (the ``-maxsegs`` analog, default 5) and the index only
+  becomes visible via the final atomic manifest publish.
+- **Last-write-wins on duplicate ids** (esbulk/bulktypes.go:28-30), made
+  deterministic: latest ``warc_ts`` wins, ties broken by md5(text).
+
+Scale notes (the 10^12-doc design point):
+- One wide shuffle total: the url-hash repartition that co-locates each
+  bucket. Dedup reuses the same hash partitioning (window over url), and
+  docid assignment is a window over the already-clustered data.
+- The extracted corpus is materialized once to staging (stage ``extract``)
+  so per-group builds re-read a pruned scan instead of recomputing the
+  dedup shuffle per group.
+- Segment build is ``applyInPandas`` per bucket: memory per task is one
+  bucket's text + postings; choose ``n_buckets`` ≈ corpus_bytes /
+  (executor_mem / tasks_per_executor). Buckets are hash-uniform, so no
+  straggler buckets (cf. estypes.go:104-116 skew heuristic).
+- The merge is *metadata-level*: per-bucket docid ranges are disjoint and
+  ordered (docid = bucket<<40 | rank), so concatenating per-bucket posting
+  blocks in bucket order yields a globally sorted posting list with no
+  decode/re-encode. The physical merge is a repartitionByRange +
+  sortWithinPartitions + partitioned write — embarrassingly parallel,
+  no single-task whole-term materialization even for the hottest term.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analyzer import ANALYZER_VERSION, extract_text, tokenize
+from .codec import BLOCK_SIZE, CODEC_VERSION, encode_blocks
+from .sources.tables import (
+    IndexLayout,
+    input_snapshot_fingerprint,
+    publish_manifest,
+    read_web_pages,
+)
+
+log = logging.getLogger("escp_spark.build")
+
+DOC_BUCKET_SHIFT = 40  # docid = bucket << 40 | rank-within-bucket
+MERGE_BLOCK_SHIFT = 20  # merged block_id = bucket << 20 | level0 block_id
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("doc_id_lo", T.LongType(), False),
+        T.StructField("doc_id_hi", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
+        T.StructField("sum_tf", T.LongType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+    ]
+)
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("build_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),  # bucket group
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("segment_path", T.StringType(), False),
+        T.StructField("docs", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("input_snapshot", T.StringType(), False),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Relational stages (pure Catalyst — no Python)
+# --------------------------------------------------------------------------
+
+def bucket_expr(col, n_buckets: int):
+    """Deterministic bucket = int(md5(url)[:8], 16) % n_buckets.
+
+    md5 (not xxhash64/crc32) because the same rule must be reproducible in
+    the pure-Python oracle and in DuckDB oracle SQL
+    (``conv(substring(md5(url),1,8),16,10) % n``)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def dedup_last_write_wins(df: DataFrame) -> DataFrame:
+    """Keep the newest version of each url (bulktypes.go:28-30 analog,
+    deterministic: warc_ts desc, then md5(html) desc)."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.md5(F.col("html")).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized html→text (B2); byte-identical per url by the
+    analyzer's invertible-wrapper contract (esdiff.go:80-82 analog)."""
+    return html.map(extract_text)
+
+
+@F.pandas_udf(T.IntegerType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: len(tokenize(t or "")))
+
+
+def prepared_corpus(df: DataFrame, n_buckets: int) -> DataFrame:
+    """dedup → extract → bucket; the input to all build stages."""
+    return (
+        dedup_last_write_wins(df)
+        .withColumn("text", extract_text_udf(F.col("html")))
+        .withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
+        .select("url", "bucket", "text", "lang")
+    )
+
+
+def docmap_for(df: DataFrame) -> DataFrame:
+    """docid = bucket<<40 | rank(url within bucket) — deterministic and
+    independent of parallelism; the url↔docid table (B4)."""
+    w = Window.partitionBy("bucket").orderBy("url")
+    return df.select(
+        "bucket",
+        "url",
+        (
+            (F.col("bucket").cast("long") * F.lit(1 << DOC_BUCKET_SHIFT))
+            + F.row_number().over(w)
+            - 1
+        ).alias("doc_id"),
+        token_count_udf(F.col("text")).alias("dl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Segment build (applyInPandas per bucket; numpy inside — B5/B6/B7)
+# --------------------------------------------------------------------------
+
+def _build_bucket_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One bucket → encoded posting blocks. Vectorized: one lexsort over
+    all (term, docid) token pairs of the bucket, run-length tf counting,
+    per-term block encoding with the numpy codec."""
+    bucket = int(pdf["bucket"].iloc[0])
+    pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+    base = np.uint64(bucket) << np.uint64(DOC_BUCKET_SHIFT)
+    doc_ids = base + np.arange(len(pdf), dtype=np.uint64)
+
+    tok_lists = [tokenize(t or "") for t in pdf["text"]]
+    dls = np.array([len(t) for t in tok_lists], dtype=np.uint64)
+    total = int(dls.sum())
+    if total == 0:
+        return pd.DataFrame({f.name: pd.Series(dtype="object") for f in POSTINGS_SCHEMA})
+
+    all_terms = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        all_terms[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    all_docs = np.repeat(doc_ids, dls.astype(np.int64))
+    all_dls = np.repeat(dls, dls.astype(np.int64))
+
+    # Factorize terms to int codes (C-speed), sorted so segment output is
+    # term-ordered; lexsort on (docid within term-code).
+    term_codes, term_uniques = pd.factorize(all_terms, sort=True)
+    order = np.lexsort((all_docs, term_codes))
+    t_s, d_s, l_s = term_codes[order], all_docs[order], all_dls[order]
+    # Run boundaries of (term, docid) pairs → tf per pair.
+    new_pair = np.empty(total, dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+    starts = np.flatnonzero(new_pair)
+    tf = np.diff(np.append(starts, total)).astype(np.uint64)
+    u_term, u_doc, u_dl = t_s[starts], d_s[starts], l_s[starts]
+
+    # Term boundaries over the unique (term, doc) pairs.
+    n_pairs = starts.size
+    new_term = np.empty(n_pairs, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = u_term[1:] != u_term[:-1]
+    t_starts = np.flatnonzero(new_term)
+    t_ends = np.append(t_starts[1:], n_pairs)
+
+    rows = []
+    for s, e in zip(t_starts, t_ends):
+        term = term_uniques[u_term[s]]
+        for blk in encode_blocks(u_doc[s:e], tf[s:e], u_dl[s:e]):
+            blk["bucket"] = bucket
+            blk["term"] = term
+            rows.append(blk)
+    out = pd.DataFrame(rows)
+    return out[[f.name for f in POSTINGS_SCHEMA]]
+
+
+def build_segments(df: DataFrame) -> DataFrame:
+    """Per-bucket level-0 segment build. Input: url, bucket, text."""
+    return df.groupBy("bucket").applyInPandas(_build_bucket_segment, POSTINGS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Ledger (checkpoint/resume — B10)
+# --------------------------------------------------------------------------
+
+def _ledger_append(spark: SparkSession, layout: IndexLayout, rows: list[dict]):
+    spark.createDataFrame(rows, LEDGER_SCHEMA).coalesce(1).write.mode("append").parquet(
+        layout.ledger
+    )
+
+
+def read_ledger(spark: SparkSession, layout: IndexLayout) -> DataFrame:
+    if not os.path.isdir(layout.ledger) or not os.listdir(layout.ledger):
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+    return spark.read.parquet(layout.ledger).dropDuplicates(
+        ["build_id", "partition_id", "stage"]
+    )
+
+
+def committed_groups(
+    spark: SparkSession, layout: IndexLayout, stage: str, snapshot: str
+) -> set[int]:
+    led = read_ledger(spark, layout)
+    rows = (
+        led.filter(
+            (F.col("build_id") == layout.build_id)
+            & (F.col("stage") == stage)
+            & (F.col("status") == "committed")
+            & (F.col("input_snapshot") == snapshot)
+        )
+        .select("partition_id")
+        .collect()
+    )
+    return {r.partition_id for r in rows}
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by build_index(fail_after_groups=k) — the resume-test kill
+    switch (SURVEY.md §5.4)."""
+
+
+# --------------------------------------------------------------------------
+# Merge (D5 force-merge analog — metadata-level, shuffle-parallel)
+# --------------------------------------------------------------------------
+
+def merge_segments(
+    spark: SparkSession,
+    layout: IndexLayout,
+    n_buckets: int,
+    max_segments: int,
+    merge_parallelism: int,
+) -> None:
+    """Merge level-0 (per-bucket) segments down to ≤ max_segments.
+
+    Because per-bucket docid ranges are disjoint and ordered, a term's
+    global posting list is the concatenation of its per-bucket blocks in
+    bucket order — no decode/re-encode, no per-term memory blowup (the
+    hottest term's blocks stay distributed across merge tasks). Block ids
+    are rewritten to bucket<<20|block_id to stay unique and ordered within
+    (segment, term). Tail blocks (<128 docs, ≤1 per bucket×term) are left
+    unconsolidated — a compaction pass may later re-block them.
+    """
+    l0 = spark.read.parquet(layout.postings_l0)
+    seg = (F.col("bucket") * max_segments / n_buckets).cast("int")
+    merged = (
+        l0.withColumn("segment", seg)
+        .withColumn(
+            "block_id",
+            (F.col("bucket").cast("long") * F.lit(1 << MERGE_BLOCK_SHIFT))
+            + F.col("block_id"),
+        )
+        .repartitionByRange(merge_parallelism, "segment", "term", "doc_id_lo")
+        .sortWithinPartitions("segment", "term", "doc_id_lo")
+        .drop("bucket", "group")
+    )
+    merged.write.mode("overwrite").partitionBy("segment").parquet(layout.postings)
+
+
+# --------------------------------------------------------------------------
+# Orchestration
+# --------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    source: str,
+    index_dir: str,
+    n_buckets: int = 32,
+    max_segments: int = 5,
+    n_groups: int = 4,
+    build_id: str = "build0",
+    merge_parallelism: int | None = None,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Run (or resume) a full index build. Returns the published manifest.
+
+    Parameters mirror escp's CLI: n_buckets ≅ --shards (D2), max_segments ≅
+    --maxsegs (D5), n_groups = checkpoint granularity (the scroll-page
+    analog of resumable units, esscroll.go:129).
+    """
+    layout = IndexLayout(index_dir, build_id)
+    layout.ensure_dirs()
+    snapshot = input_snapshot_fingerprint(source)
+    merge_parallelism = merge_parallelism or spark.sparkContext.defaultParallelism
+
+    extracted_dir = os.path.join(layout.staging, "extracted")
+    docmap_stage = os.path.join(layout.staging, "docmap")
+
+    # ---- Stage "extract": one wide pass — dedup shuffle + extraction +
+    # bucketing, materialized once, partitioned by checkpoint group.
+    if committed_groups(spark, layout, "extract", snapshot) != {0}:
+        pages = read_web_pages(spark, source)
+        corpus = prepared_corpus(pages, n_buckets).withColumn(
+            "grp", (F.col("bucket") % n_groups)
+        )
+        corpus.write.mode("overwrite").partitionBy("grp").parquet(extracted_dir)
+        docs = spark.read.parquet(extracted_dir).count()
+        _ledger_append(
+            spark,
+            layout,
+            [
+                {
+                    "build_id": build_id,
+                    "partition_id": 0,
+                    "stage": "extract",
+                    "status": "committed",
+                    "segment_path": extracted_dir,
+                    "docs": docs,
+                    "bytes": _dir_bytes(extracted_dir),
+                    "input_snapshot": snapshot,
+                }
+            ],
+        )
+        log.info("extract committed: %d docs", docs)
+    else:
+        log.info("extract stage already committed — skipping (resume)")
+
+    # ---- Stage "segment": per-group docmap + level-0 segment build,
+    # idempotent group-scoped writes, ledger commit per group.
+    done = committed_groups(spark, layout, "segment", snapshot)
+    groups_run = 0
+    for g in range(n_groups):
+        if g in done:
+            log.info("group %d already committed — skipping (resume)", g)
+            continue
+        part = spark.read.parquet(extracted_dir).filter(F.col("grp") == g)
+        dm_path = os.path.join(docmap_stage, f"group={g}")
+        docmap_for(part).write.mode("overwrite").parquet(dm_path)
+        seg_path = os.path.join(layout.postings_l0, f"group={g}")
+        build_segments(part.select("url", "bucket", "text")).write.mode(
+            "overwrite"
+        ).parquet(seg_path)
+        stats = (
+            spark.read.parquet(seg_path)
+            .agg(
+                F.sum(
+                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                ).alias("bytes")
+            )
+            .collect()[0]
+        )
+        docs_g = spark.read.parquet(dm_path).count()
+        _ledger_append(
+            spark,
+            layout,
+            [
+                {
+                    "build_id": build_id,
+                    "partition_id": g,
+                    "stage": "segment",
+                    "status": "committed",
+                    "segment_path": seg_path,
+                    "docs": docs_g,
+                    "bytes": int(stats["bytes"] or 0),
+                    "input_snapshot": snapshot,
+                }
+            ],
+        )
+        log.info("group %d committed: %d docs, %d posting bytes", g, docs_g, stats["bytes"] or 0)
+        groups_run += 1
+        if fail_after_groups is not None and groups_run >= fail_after_groups:
+            raise SimulatedFailure(f"killed after {groups_run} groups (test)")
+
+    # ---- Finalize (idempotent overwrites): merge, docmap, dictionary,
+    # stats, atomic manifest publish (D3/B11).
+    merge_segments(spark, layout, n_buckets, max_segments, merge_parallelism)
+
+    dm = spark.read.parquet(docmap_stage).drop("grp", "group")
+    dm.repartitionByRange(merge_parallelism, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(layout.docmap)
+
+    postings = spark.read.parquet(layout.postings)
+    (
+        postings.groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+        .repartitionByRange(max(1, merge_parallelism // 4), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(layout.dictionary)
+    )
+
+    agg = spark.read.parquet(layout.docmap).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).collect()[0]
+    n_docs = agg["n_docs"]
+    avgdl = (agg["total_tokens"] or 0) / n_docs if n_docs else 0.0
+
+    manifest = publish_manifest(
+        layout,
+        {
+            "n_docs": int(n_docs),
+            "avgdl": float(avgdl),
+            "n_buckets": n_buckets,
+            "max_segments": max_segments,
+            "block_size": BLOCK_SIZE,
+            "codec_version": CODEC_VERSION,
+            "analyzer_version": ANALYZER_VERSION,
+            "input_snapshot": snapshot,
+        },
+    )
+    log.info("published index: %d docs, avgdl=%.2f", n_docs, avgdl)
+    return manifest
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total

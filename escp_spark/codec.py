@@ -1,0 +1,122 @@
+"""Posting-block codec: delta + varint, 128-doc blocks, block-max metadata.
+
+This is the engine's Lucene-segment-format analog (the reference delegated
+all of this to Elasticsearch/Lucene; see SURVEY.md §2.8 B6). Posting lists
+are stored as fixed-size blocks of (docid, tf, dl) triples:
+
+- docids are sorted, delta-encoded, then LEB128-varint packed;
+- tfs and dls are varint packed as-is (small positive ints);
+- per block we keep ``n`` (docs in block), ``max_tf`` and ``min_dl`` —
+  together with global idf/avgdl these give a *true upper bound* on any
+  BM25 contribution from the block, which is what block-max pruning
+  (query.py) needs; plus first/last docid for docid-range skipping.
+
+Encode/decode are pure numpy (no per-element Python loops) so they run
+fast inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per posting block (Lucene uses 128 too)
+CODEC_VERSION = 1
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized.
+
+    Each value contributes ceil(bits/7) bytes; we materialize a (n, 10)
+    byte matrix and compact it with a mask — no Python loop.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    n = v.size
+    # 10 groups of 7 bits cover 64 bits.
+    shifts = np.arange(0, 70, 7, dtype=np.uint64)
+    groups = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    # Number of bytes needed per value: position of highest nonzero group.
+    nonzero = groups != 0
+    nbytes = np.where(
+        v == 0, 1, 10 - np.argmax(nonzero[:, ::-1], axis=1)
+    ).astype(np.int64)
+    keep = np.arange(10)[None, :] < nbytes[:, None]
+    # Continuation bit on every byte except the last of each value.
+    last = np.arange(10)[None, :] == (nbytes[:, None] - 1)
+    out = np.where(last, groups, groups | np.uint64(0x80)).astype(np.uint8)
+    return out[keep].tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` LEB128 values from ``buf`` — vectorized."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # Value index for each byte: cumulative count of previous terminators.
+    val_idx = np.zeros(raw.size, dtype=np.int64)
+    val_idx[1:] = np.cumsum(is_last[:-1])
+    # Byte position within its value.
+    starts = np.zeros(raw.size, dtype=np.int64)
+    term_pos = np.flatnonzero(is_last)
+    # start of value i = term_pos[i-1] + 1
+    value_starts = np.concatenate(([0], term_pos[:-1] + 1))
+    pos_in_val = np.arange(raw.size) - value_starts[val_idx]
+    payload = (raw & 0x7F).astype(np.uint64) << (7 * pos_in_val.astype(np.uint64))
+    out = np.zeros(count, dtype=np.uint64)
+    np.add.at(out, val_idx, payload)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    d = np.empty_like(a)
+    d[0] = a[0]
+    d[1:] = a[1:] - a[:-1]
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+    """Split one term's sorted posting list into encoded blocks.
+
+    Returns a list of dicts matching the ``postings`` table row schema
+    (minus term/segment columns, added by the caller).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    blocks = []
+    for b, off in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
+        ids = doc_ids[off : off + BLOCK_SIZE]
+        t = tfs[off : off + BLOCK_SIZE]
+        d = dls[off : off + BLOCK_SIZE]
+        blocks.append(
+            {
+                "block_id": b,
+                "n": int(ids.size),
+                "doc_id_lo": int(ids[0]),
+                "doc_id_hi": int(ids[-1]),
+                "max_tf": int(t.max()),
+                "min_dl": int(d.min()),
+                "sum_tf": int(t.sum()),
+                "doc_ids": varint_encode(delta_encode(ids)),
+                "tfs": varint_encode(t),
+                "dls": varint_encode(d),
+            }
+        )
+    return blocks
+
+
+def decode_block(doc_ids_buf: bytes, tfs_buf: bytes, dls_buf: bytes, n: int):
+    """Decode one block → (doc_ids, tfs, dls) uint64 arrays."""
+    ids = delta_decode(varint_decode(doc_ids_buf, n))
+    tfs = varint_decode(tfs_buf, n)
+    dls = varint_decode(dls_buf, n)
+    return ids, tfs, dls

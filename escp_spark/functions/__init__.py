@@ -1,0 +1,3 @@
+from .bm25 import K1, B, idf_lucene, bm25_contrib, bm25_upper_bound
+
+__all__ = ["K1", "B", "idf_lucene", "bm25_contrib", "bm25_upper_bound"]

@@ -1,0 +1,51 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from escp_spark.session import get_spark
+
+    s = get_spark("escp_spark_tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus(tmp_path_factory):
+    """1,000-row deterministic web_pages corpus (FIXTURES.md 'tiny')."""
+    from escp_spark.corpus import write_web_pages_parquet
+
+    p = tmp_path_factory.mktemp("corpus") / "web_pages.parquet"
+    write_web_pages_parquet(str(p), 1000)
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def built_index(spark, tiny_corpus, tmp_path_factory):
+    """One shared index build over the tiny corpus."""
+    from escp_spark.build import build_index
+
+    d = str(tmp_path_factory.mktemp("index"))
+    manifest = build_index(
+        spark, tiny_corpus, d, n_buckets=8, max_segments=3, n_groups=4
+    )
+    return d, manifest
+
+
+@pytest.fixture(scope="session")
+def oracle_docs(tiny_corpus):
+    """Deduped url→text dict, same LWW rule as the engine."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(tiny_corpus).to_pandas()
+    import hashlib
+
+    t["tie"] = t["html"].map(lambda h: hashlib.md5(h).hexdigest())
+    t = t.sort_values(["url", "warc_ts", "tie"], ascending=[True, False, False])
+    t = t.drop_duplicates("url", keep="first")
+    return dict(zip(t["url"], t["text"]))

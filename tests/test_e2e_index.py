@@ -1,0 +1,108 @@
+"""End-to-end: build → query (both paths) → rank-identical vs oracle.
+
+This is the engine's esdiff analog (jobs/validationjob.go +
+esdiff/esdiff.go): the Spark-built index must produce top-k results
+rank-identical on doc_url with scores equal to atol 1e-6 against the
+exhaustive pure-Python oracle, on the full reference query set.
+"""
+
+import numpy as np
+import pytest
+
+from escp_spark.corpus import reference_queries
+from escp_spark.oracle import NaiveIndex
+from escp_spark.query import IndexReader, search_topk, search_topk_spark
+
+
+@pytest.fixture(scope="module")
+def oracle_results(oracle_docs):
+    ix = NaiveIndex(oracle_docs)
+    return {
+        q["query_id"]: ix.search(q["query_text"], q["k"])
+        for q in reference_queries()
+    }
+
+
+def _assert_rank_identical(got_rows, oracle_results):
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_url"], r["score"]))
+    for qid, expected in oracle_results.items():
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expected), (
+            f"query {qid}: {len(mine)} results vs oracle {len(expected)}"
+        )
+        for (rank, url, score), (e_url, e_score) in zip(mine, expected):
+            assert url == e_url, (
+                f"query {qid} rank {rank}: got {url} expected {e_url}"
+            )
+            assert score == pytest.approx(e_score, abs=1e-6), (
+                f"query {qid} rank {rank}: score {score} vs {e_score}"
+            )
+
+
+def test_manifest_stats(built_index, oracle_docs):
+    _, manifest = built_index
+    assert manifest["status"] == "published"
+    assert manifest["n_docs"] == len(oracle_docs)
+    ix = NaiveIndex(oracle_docs)
+    assert manifest["avgdl"] == pytest.approx(ix.avgdl, rel=1e-12)
+
+
+def test_serving_path_rank_identical(built_index, oracle_results):
+    index_dir, _ = built_index
+    rows = search_topk(index_dir, reference_queries())
+    _assert_rank_identical(rows, oracle_results)
+
+
+def test_spark_batch_path_rank_identical(spark, built_index, oracle_results):
+    index_dir, _ = built_index
+    df = search_topk_spark(spark, index_dir, reference_queries())
+    rows = [r.asDict() for r in df.collect()]
+    _assert_rank_identical(rows, oracle_results)
+
+
+def test_extraction_byte_identical(spark, tiny_corpus):
+    """V3: extracted text == ground-truth text column for every url."""
+    from pyspark.sql import functions as F
+
+    from escp_spark.build import extract_text_udf
+
+    df = spark.read.parquet(tiny_corpus)
+    bad = df.filter(extract_text_udf(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_count_conservation(spark, built_index, oracle_docs):
+    """V1 + ledger invariant: distinct urls in == docs indexed == Σ ledger."""
+    from pyspark.sql import functions as F
+
+    from escp_spark.build import read_ledger
+    from escp_spark.sources.tables import IndexLayout, load_manifest
+
+    index_dir, manifest = built_index
+    layout = IndexLayout(index_dir, manifest["build_id"])
+    dm = spark.read.parquet(layout.docmap)
+    assert dm.count() == len(oracle_docs)
+    assert dm.select("url").distinct().count() == len(oracle_docs)
+    led = read_ledger(spark, layout)
+    seg_docs = (
+        led.filter(F.col("stage") == "segment").agg(F.sum("docs")).collect()[0][0]
+    )
+    assert seg_docs == len(oracle_docs)
+
+
+def test_docids_unique_and_bucketed(spark, built_index):
+    from pyspark.sql import functions as F
+
+    from escp_spark.sources.tables import IndexLayout
+
+    index_dir, manifest = built_index
+    layout = IndexLayout(index_dir, manifest["build_id"])
+    dm = spark.read.parquet(layout.docmap)
+    assert dm.select("doc_id").distinct().count() == dm.count()
+    # docid encodes its bucket
+    bad = dm.filter(
+        (F.col("doc_id") / F.lit(1 << 40)).cast("int") != F.col("bucket")
+    ).count()
+    assert bad == 0
