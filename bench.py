@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+Headline queries:
+- index_build      — full pipeline (dedup→extract→segments→merge→publish)
+                     over a deterministic synthetic web_pages corpus sized
+                     rows = 500_000 * sf (FIXTURES.md 'small' at sf=0.1).
+- bm25_batch       — the 50-query reference set through the distributed
+                     Spark batch path.
+- bm25_serving_p50 — per-query serving-path latency, p50 over the set.
+- plus relational headliners on the sf tables (tpch_q1, term_df_stats,
+  ann_cosine).
+
+Extra keys: docs_per_sec (build throughput), n_docs, cpus.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WORK = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(os.path.normpath(d))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(n_rows: int) -> str:
+    from escp_spark.corpus import write_web_pages_parquet
+
+    path = os.path.join(WORK, f"web_pages_{n_rows}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(WORK, exist_ok=True)
+        write_web_pages_parquet(path, n_rows)
+    return path
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_rows = max(1000, int(500_000 * sf))
+
+    from escp_spark.build import build_index
+    from escp_spark.corpus import reference_queries
+    from escp_spark.query import IndexReader, search_topk, search_topk_spark
+    from escp_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("escp_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    corpus_path = ensure_corpus(n_rows)
+    index_dir = os.path.join(WORK, f"bench_index_{n_rows}_{cpus}")
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+
+    timings = {}
+
+    t0 = time.perf_counter()
+    manifest = build_index(
+        spark, corpus_path, index_dir,
+        n_buckets=max(cpus * 2, 16), max_segments=5, n_groups=2,
+    )
+    timings["index_build"] = time.perf_counter() - t0
+    n_docs = manifest["n_docs"]
+
+    qset = reference_queries()
+    t0 = time.perf_counter()
+    search_topk_spark(spark, index_dir, qset).collect()
+    timings["bm25_batch"] = time.perf_counter() - t0
+
+    reader = IndexReader(index_dir)
+    lat = []
+    for q in qset:
+        t0 = time.perf_counter()
+        search_topk(index_dir, [q], reader=reader)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    timings["bm25_serving_p50"] = lat[len(lat) // 2]
+
+    for name in ("tpch_q1", "term_df_stats", "ann_cosine"):
+        fn = entrymod.queries()[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "escp_spark_headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / timings["index_build"], 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -154,7 +154,10 @@ def prepared_corpus(df: DataFrame, n_buckets: int) -> DataFrame:
 
 def docmap_for(df: DataFrame) -> DataFrame:
     """docid = bucket<<40 | rank(url within bucket) — deterministic and
-    independent of parallelism; the url↔docid table (B4)."""
+    independent of parallelism; the url↔docid table (B4). Pure window op —
+    no UDF, no tokenization (doc lengths live inline in posting blocks;
+    avgdl is derived from the dictionary's Σcf, so nothing tokenizes
+    twice)."""
     w = Window.partitionBy("bucket").orderBy("url")
     return df.select(
         "bucket",
@@ -164,7 +167,6 @@ def docmap_for(df: DataFrame) -> DataFrame:
             + F.row_number().over(w)
             - 1
         ).alias("doc_id"),
-        token_count_udf(F.col("text")).alias("dl"),
     )
 
 
@@ -282,6 +284,7 @@ def merge_segments(
     n_buckets: int,
     max_segments: int,
     merge_parallelism: int,
+    physical: str = "narrow",
 ) -> None:
     """Merge level-0 (per-bucket) segments down to ≤ max_segments.
 
@@ -292,19 +295,30 @@ def merge_segments(
     are rewritten to bucket<<20|block_id to stay unique and ordered within
     (segment, term). Tail blocks (<128 docs, ≤1 per bucket×term) are left
     unconsolidated — a compaction pass may later re-block them.
+
+    physical="narrow" (default): no shuffle — each input partition sorts
+    itself by (segment, term, docid) and writes into the per-segment dirs;
+    every output file is term-sorted so Parquet row-group stats give
+    dictionary-seek pruning. Parallelism = input partition count, so the
+    hottest term never concentrates in one task.
+    physical="range": adds a repartitionByRange clustering pass (global
+    term ranges per file — fewer files touched per query at the cost of a
+    sampling job + full shuffle). The right choice at 10^12-doc scale
+    where file-count per segment matters; overkill at bench scale.
     """
     l0 = spark.read.parquet(layout.postings_l0)
     seg = (F.col("bucket") * max_segments / n_buckets).cast("int")
-    merged = (
-        l0.withColumn("segment", seg)
-        .withColumn(
-            "block_id",
-            (F.col("bucket").cast("long") * F.lit(1 << MERGE_BLOCK_SHIFT))
-            + F.col("block_id"),
+    merged = l0.withColumn("segment", seg).withColumn(
+        "block_id",
+        (F.col("bucket").cast("long") * F.lit(1 << MERGE_BLOCK_SHIFT))
+        + F.col("block_id"),
+    )
+    if physical == "range":
+        merged = merged.repartitionByRange(
+            merge_parallelism, "segment", "term", "doc_id_lo"
         )
-        .repartitionByRange(merge_parallelism, "segment", "term", "doc_id_lo")
-        .sortWithinPartitions("segment", "term", "doc_id_lo")
-        .drop("bucket", "group")
+    merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo").drop(
+        "bucket", "group"
     )
     merged.write.mode("overwrite").partitionBy("segment").parquet(layout.postings)
 
@@ -323,6 +337,7 @@ def build_index(
     build_id: str = "build0",
     merge_parallelism: int | None = None,
     fail_after_groups: int | None = None,
+    pages: DataFrame | None = None,
 ) -> dict:
     """Run (or resume) a full index build. Returns the published manifest.
 
@@ -336,35 +351,54 @@ def build_index(
     merge_parallelism = merge_parallelism or spark.sparkContext.defaultParallelism
 
     extracted_dir = os.path.join(layout.staging, "extracted")
-    docmap_stage = os.path.join(layout.staging, "docmap")
 
     # ---- Stage "extract": one wide pass — dedup shuffle + extraction +
     # bucketing, materialized once, partitioned by checkpoint group.
-    if committed_groups(spark, layout, "extract", snapshot) != {0}:
-        pages = read_web_pages(spark, source)
+    if not committed_groups(spark, layout, "extract", snapshot):
+        if pages is None:
+            pages = read_web_pages(spark, source)
         corpus = prepared_corpus(pages, n_buckets).withColumn(
             "grp", (F.col("bucket") % n_groups)
         )
         corpus.write.mode("overwrite").partitionBy("grp").parquet(extracted_dir)
-        docs = spark.read.parquet(extracted_dir).count()
+        # One aggregation gives total + per-group doc counters (M2 analog)
+        # — no per-group count jobs later.
+        grp_counts = {
+            r.grp: r.docs
+            for r in spark.read.parquet(extracted_dir)
+            .groupBy("grp")
+            .agg(F.count("*").alias("docs"))
+            .collect()
+        }
         _ledger_append(
             spark,
             layout,
             [
                 {
                     "build_id": build_id,
-                    "partition_id": 0,
+                    "partition_id": int(g),
                     "stage": "extract",
                     "status": "committed",
-                    "segment_path": extracted_dir,
-                    "docs": docs,
-                    "bytes": _dir_bytes(extracted_dir),
+                    "segment_path": os.path.join(extracted_dir, f"grp={g}"),
+                    "docs": int(docs),
+                    "bytes": _dir_bytes(os.path.join(extracted_dir, f"grp={g}")),
                     "input_snapshot": snapshot,
                 }
+                for g, docs in grp_counts.items()
             ],
         )
-        log.info("extract committed: %d docs", docs)
+        log.info("extract committed: %d docs", sum(grp_counts.values()))
     else:
+        grp_counts = {
+            r.partition_id: r.docs
+            for r in read_ledger(spark, layout)
+            .filter(
+                (F.col("build_id") == build_id)
+                & (F.col("stage") == "extract")
+                & (F.col("input_snapshot") == snapshot)
+            )
+            .collect()
+        }
         log.info("extract stage already committed — skipping (resume)")
 
     # ---- Stage "segment": per-group docmap + level-0 segment build,
@@ -376,22 +410,17 @@ def build_index(
             log.info("group %d already committed — skipping (resume)", g)
             continue
         part = spark.read.parquet(extracted_dir).filter(F.col("grp") == g)
-        dm_path = os.path.join(docmap_stage, f"group={g}")
+        # docmap group files are written straight to their final location
+        # (clustered by doc_id via the window's output order) — publish is
+        # zero-copy, which matters when the docmap has 10^12 rows.
+        dm_path = os.path.join(layout.docmap, f"group={g}")
         docmap_for(part).write.mode("overwrite").parquet(dm_path)
         seg_path = os.path.join(layout.postings_l0, f"group={g}")
         build_segments(part.select("url", "bucket", "text")).write.mode(
             "overwrite"
         ).parquet(seg_path)
-        stats = (
-            spark.read.parquet(seg_path)
-            .agg(
-                F.sum(
-                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
-                ).alias("bytes")
-            )
-            .collect()[0]
-        )
-        docs_g = spark.read.parquet(dm_path).count()
+        docs_g = int(grp_counts.get(g, 0))
+        bytes_g = _dir_bytes(seg_path)  # FS listing, no Spark job
         _ledger_append(
             spark,
             layout,
@@ -403,40 +432,34 @@ def build_index(
                     "status": "committed",
                     "segment_path": seg_path,
                     "docs": docs_g,
-                    "bytes": int(stats["bytes"] or 0),
+                    "bytes": bytes_g,
                     "input_snapshot": snapshot,
                 }
             ],
         )
-        log.info("group %d committed: %d docs, %d posting bytes", g, docs_g, stats["bytes"] or 0)
+        log.info("group %d committed: %d docs, %d segment bytes", g, docs_g, bytes_g)
         groups_run += 1
         if fail_after_groups is not None and groups_run >= fail_after_groups:
             raise SimulatedFailure(f"killed after {groups_run} groups (test)")
 
-    # ---- Finalize (idempotent overwrites): merge, docmap, dictionary,
-    # stats, atomic manifest publish (D3/B11).
+    # ---- Finalize (idempotent overwrites): merge, dictionary, stats,
+    # atomic manifest publish (D3/B11).
     merge_segments(spark, layout, n_buckets, max_segments, merge_parallelism)
-
-    dm = spark.read.parquet(docmap_stage).drop("grp", "group")
-    dm.repartitionByRange(merge_parallelism, "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(layout.docmap)
 
     postings = spark.read.parquet(layout.postings)
     (
         postings.groupBy("term")
         .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-        .repartitionByRange(max(1, merge_parallelism // 4), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(layout.dictionary)
     )
 
-    agg = spark.read.parquet(layout.docmap).agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
-    ).collect()[0]
-    n_docs = agg["n_docs"]
-    avgdl = (agg["total_tokens"] or 0) / n_docs if n_docs else 0.0
+    n_docs = int(sum(grp_counts.values()))
+    total_tokens = (
+        spark.read.parquet(layout.dictionary).agg(F.sum("cf")).collect()[0][0] or 0
+    )
+    avgdl = total_tokens / n_docs if n_docs else 0.0
 
     manifest = publish_manifest(
         layout,

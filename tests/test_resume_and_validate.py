@@ -1,0 +1,138 @@
+"""Resume (B10), skew (B8), and validation-job (V1-V5) tests — SURVEY.md §5.4-5.5."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from escp_spark.build import SimulatedFailure, build_index, read_ledger
+from escp_spark.sources.tables import IndexLayout
+from escp_spark.validate import ValidationError, validate_index
+
+
+def _file_mtimes(path):
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _index_content(spark, index_dir, build_id="build0"):
+    layout = IndexLayout(index_dir, build_id)
+    postings = sorted(
+        (r.term, r.block_id, bytes(r.doc_ids), bytes(r.tfs), bytes(r.dls))
+        for r in spark.read.parquet(layout.postings).collect()
+    )
+    docmap = sorted(
+        (r.doc_id, r.url) for r in spark.read.parquet(layout.docmap).collect()
+    )
+    dictionary = sorted(
+        (r.term, r.df, r.cf) for r in spark.read.parquet(layout.dictionary).collect()
+    )
+    return postings, docmap, dictionary
+
+
+def test_resume_skips_committed_and_is_identical(spark, tiny_corpus, tmp_path):
+    """Kill after 2 of 4 groups; rerun; committed groups must NOT
+    re-execute (file mtimes unchanged) and the final index must be
+    content-identical to an uninterrupted build (esscroll.go:129 /
+    293-294 realized)."""
+    d_interrupted = str(tmp_path / "idx_resume")
+    d_clean = str(tmp_path / "idx_clean")
+
+    with pytest.raises(SimulatedFailure):
+        build_index(
+            spark, tiny_corpus, d_interrupted,
+            n_buckets=8, max_segments=3, n_groups=4, fail_after_groups=2,
+        )
+    layout = IndexLayout(d_interrupted, "build0")
+    led = read_ledger(spark, layout)
+    committed = led.filter(F.col("stage") == "segment").count()
+    assert committed == 2
+    before = _file_mtimes(layout.postings_l0)
+    assert before, "no level-0 segment files after partial build"
+
+    # Resume: remaining 2 groups run, committed 2 are skipped untouched.
+    build_index(
+        spark, tiny_corpus, d_interrupted,
+        n_buckets=8, max_segments=3, n_groups=4,
+    )
+    after = _file_mtimes(layout.postings_l0)
+    for p, m in before.items():
+        assert after.get(p) == m, f"committed segment file was rewritten: {p}"
+    assert read_ledger(spark, layout).filter(F.col("stage") == "segment").count() == 4
+
+    build_index(spark, tiny_corpus, d_clean, n_buckets=8, max_segments=3, n_groups=4)
+    assert _index_content(spark, d_interrupted) == _index_content(spark, d_clean)
+
+
+def test_rerun_of_published_index_is_noop_fast(spark, built_index, tiny_corpus):
+    """A fully-committed build re-run must skip all segment groups."""
+    index_dir, manifest = built_index
+    layout = IndexLayout(index_dir, manifest["build_id"])
+    before = _file_mtimes(layout.postings_l0)
+    build_index(spark, tiny_corpus, index_dir, n_buckets=8, max_segments=3, n_groups=4)
+    after = _file_mtimes(layout.postings_l0)
+    assert before == after
+
+
+def test_bucket_balance_no_skew(spark, built_index):
+    """§5.5: md5 bucketing keeps task inputs balanced — no bucket gets
+    more than 2× the median docs (the estypes.go:104-116 skew goal)."""
+    index_dir, manifest = built_index
+    layout = IndexLayout(index_dir, manifest["build_id"])
+    counts = [
+        r.n
+        for r in spark.read.parquet(layout.docmap)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(counts) == manifest["n_buckets"]
+    counts.sort()
+    median = counts[len(counts) // 2]
+    assert counts[-1] <= 2 * median, f"bucket skew: max {counts[-1]} vs median {median}"
+
+
+def test_hot_term_postings_distributed(spark, built_index):
+    """The hottest term's postings must be spread across every bucket
+    (the salting-by-construction property), not concentrated in one
+    merge task's input."""
+    index_dir, manifest = built_index
+    layout = IndexLayout(index_dir, manifest["build_id"])
+    l0 = spark.read.parquet(layout.postings_l0)
+    hot = (
+        l0.groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .orderBy(F.col("df").desc())
+        .first()
+    )
+    buckets = (
+        l0.filter(F.col("term") == hot.term).select("bucket").distinct().count()
+    )
+    assert buckets == manifest["n_buckets"]
+
+
+def test_validate_index_passes(spark, tiny_corpus, built_index):
+    index_dir, _ = built_index
+    res = validate_index(spark, tiny_corpus, index_dir, sample_denom=1)
+    assert res.missing == 0 and res.mismatched == 0
+    assert res.checked == res.total == res.matched
+
+
+def test_validate_detects_count_mismatch(spark, tiny_corpus, built_index, tmp_path):
+    """V1: a doctored source (one extra url) must fail the precheck."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    index_dir, _ = built_index
+    t = pq.read_table(tiny_corpus)
+    extra = t.slice(0, 1).to_pydict()
+    extra["url"] = ["https://siteX.example/p/extra"]
+    doctored = pa.concat_tables([t, pa.table(extra, schema=t.schema)])
+    p = str(tmp_path / "doctored.parquet")
+    pq.write_table(doctored, p)
+    with pytest.raises(ValidationError, match="count mismatch"):
+        validate_index(spark, p, index_dir, sample_denom=1)
