@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .analyzer import ANALYZER_VERSION, extract_text, tokenize
-from .codec import BLOCK_SIZE, CODEC_VERSION, encode_blocks
+from .codec import BLOCK_SIZE, CODEC_VERSION, encode_posting_frame
 from .sources.tables import (
     IndexLayout,
     input_snapshot_fingerprint,
@@ -210,22 +210,24 @@ def _build_bucket_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     tf = np.diff(np.append(starts, total)).astype(np.uint64)
     u_term, u_doc, u_dl = t_s[starts], d_s[starts], l_s[starts]
 
-    # Term boundaries over the unique (term, doc) pairs.
-    n_pairs = starts.size
-    new_term = np.empty(n_pairs, dtype=bool)
-    new_term[0] = True
-    new_term[1:] = u_term[1:] != u_term[:-1]
-    t_starts = np.flatnonzero(new_term)
-    t_ends = np.append(t_starts[1:], n_pairs)
-
-    rows = []
-    for s, e in zip(t_starts, t_ends):
-        term = term_uniques[u_term[s]]
-        for blk in encode_blocks(u_doc[s:e], tf[s:e], u_dl[s:e]):
-            blk["bucket"] = bucket
-            blk["term"] = term
-            rows.append(blk)
-    out = pd.DataFrame(rows)
+    # One vectorized pass encodes every term's blocks (no per-term loop).
+    enc = encode_posting_frame(u_term, u_doc, tf, u_dl)
+    out = pd.DataFrame(
+        {
+            "bucket": np.full(enc["n"].size, bucket, dtype=np.int64),
+            "term": np.asarray(term_uniques)[enc["term_code"]],
+            "block_id": enc["block_id"],
+            "n": enc["n"],
+            "doc_id_lo": enc["doc_id_lo"],
+            "doc_id_hi": enc["doc_id_hi"],
+            "max_tf": enc["max_tf"],
+            "min_dl": enc["min_dl"],
+            "sum_tf": enc["sum_tf"],
+            "doc_ids": enc["doc_ids"],
+            "tfs": enc["tfs"],
+            "dls": enc["dls"],
+        }
+    )
     return out[[f.name for f in POSTINGS_SCHEMA]]
 
 
@@ -238,35 +240,83 @@ def build_segments(df: DataFrame) -> DataFrame:
 # Ledger (checkpoint/resume — B10)
 # --------------------------------------------------------------------------
 
+_LEDGER_ARROW = None
+
+
+def _ledger_arrow_schema():
+    global _LEDGER_ARROW
+    if _LEDGER_ARROW is None:
+        import pyarrow as pa
+
+        _LEDGER_ARROW = pa.schema(
+            [
+                ("build_id", pa.string()),
+                ("partition_id", pa.int32()),
+                ("stage", pa.string()),
+                ("status", pa.string()),
+                ("segment_path", pa.string()),
+                ("docs", pa.int64()),
+                ("bytes", pa.int64()),
+                ("input_snapshot", pa.string()),
+            ]
+        )
+    return _LEDGER_ARROW
+
+
 def _ledger_append(spark: SparkSession, layout: IndexLayout, rows: list[dict]):
-    spark.createDataFrame(rows, LEDGER_SCHEMA).coalesce(1).write.mode("append").parquet(
-        layout.ledger
-    )
+    """Append-only checkpoint commit. The ledger is tiny driver-side
+    metadata (one row per unit of work — escp's scroll-progress analog),
+    so it's written directly with pyarrow: no Spark job, and the
+    write+rename is atomic per commit."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _ledger_arrow_schema()
+    table = pa.Table.from_pylist(rows, schema=schema)
+    tmp = os.path.join(layout.ledger, f".tmp-{uuid.uuid4().hex}")
+    dst = os.path.join(layout.ledger, f"commit-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, dst)
+
+
+def _ledger_pandas(layout: IndexLayout):
+    import pyarrow.dataset as pads
+
+    if not os.path.isdir(layout.ledger):
+        return None
+    files = [
+        os.path.join(layout.ledger, f)
+        for f in os.listdir(layout.ledger)
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return None
+    return pads.dataset(files, format="parquet").to_table().to_pandas()
 
 
 def read_ledger(spark: SparkSession, layout: IndexLayout) -> DataFrame:
-    if not os.path.isdir(layout.ledger) or not os.listdir(layout.ledger):
+    pdf = _ledger_pandas(layout)
+    if pdf is None:
         return spark.createDataFrame([], LEDGER_SCHEMA)
-    return spark.read.parquet(layout.ledger).dropDuplicates(
-        ["build_id", "partition_id", "stage"]
-    )
+    pdf = pdf.drop_duplicates(["build_id", "partition_id", "stage"])
+    return spark.createDataFrame(pdf, LEDGER_SCHEMA)
 
 
 def committed_groups(
     spark: SparkSession, layout: IndexLayout, stage: str, snapshot: str
 ) -> set[int]:
-    led = read_ledger(spark, layout)
-    rows = (
-        led.filter(
-            (F.col("build_id") == layout.build_id)
-            & (F.col("stage") == stage)
-            & (F.col("status") == "committed")
-            & (F.col("input_snapshot") == snapshot)
-        )
-        .select("partition_id")
-        .collect()
+    pdf = _ledger_pandas(layout)
+    if pdf is None:
+        return set()
+    m = (
+        (pdf["build_id"] == layout.build_id)
+        & (pdf["stage"] == stage)
+        & (pdf["status"] == "committed")
+        & (pdf["input_snapshot"] == snapshot)
     )
-    return {r.partition_id for r in rows}
+    return set(pdf.loc[m, "partition_id"].astype(int).tolist())
 
 
 class SimulatedFailure(RuntimeError):
@@ -389,16 +439,15 @@ def build_index(
         )
         log.info("extract committed: %d docs", sum(grp_counts.values()))
     else:
-        grp_counts = {
-            r.partition_id: r.docs
-            for r in read_ledger(spark, layout)
-            .filter(
-                (F.col("build_id") == build_id)
-                & (F.col("stage") == "extract")
-                & (F.col("input_snapshot") == snapshot)
-            )
-            .collect()
-        }
+        pdf = _ledger_pandas(layout)
+        m = (
+            (pdf["build_id"] == build_id)
+            & (pdf["stage"] == "extract")
+            & (pdf["input_snapshot"] == snapshot)
+        )
+        grp_counts = dict(
+            zip(pdf.loc[m, "partition_id"].astype(int), pdf.loc[m, "docs"].astype(int))
+        )
         log.info("extract stage already committed — skipping (resume)")
 
     # ---- Stage "segment": per-group docmap + level-0 segment build,

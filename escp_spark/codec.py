@@ -23,16 +23,17 @@ BLOCK_SIZE = 128  # docs per posting block (Lucene uses 128 too)
 CODEC_VERSION = 1
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized.
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, fully vectorized; also returns the
+    per-value byte counts so callers can split the stream into blocks
+    without re-encoding.
 
     Each value contributes ceil(bits/7) bytes; we materialize a (n, 10)
     byte matrix and compact it with a mask — no Python loop.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    n = v.size
+        return b"", np.empty(0, dtype=np.int64)
     # 10 groups of 7 bits cover 64 bits.
     shifts = np.arange(0, 70, 7, dtype=np.uint64)
     groups = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
@@ -45,7 +46,11 @@ def varint_encode(values: np.ndarray) -> bytes:
     # Continuation bit on every byte except the last of each value.
     last = np.arange(10)[None, :] == (nbytes[:, None] - 1)
     out = np.where(last, groups, groups | np.uint64(0x80)).astype(np.uint8)
-    return out[keep].tobytes()
+    return out[keep].tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
@@ -120,3 +125,96 @@ def decode_block(doc_ids_buf: bytes, tfs_buf: bytes, dls_buf: bytes, n: int):
     tfs = varint_decode(tfs_buf, n)
     dls = varint_decode(dls_buf, n)
     return ids, tfs, dls
+
+
+def encode_posting_frame(
+    term_codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode an entire segment's postings in one vectorized pass.
+
+    Inputs are per (term, doc) pair, sorted by (term_code, doc_id). Every
+    term/block boundary, delta, varint byte, and block-max aggregate is
+    computed with array ops; the only Python-level loop is the final
+    bytes-slicing list comprehension over blocks (O(n_blocks) cheap
+    slices). This replaces a per-term encode loop that dominated build
+    time (hundreds of thousands of tiny numpy calls per bucket).
+
+    Returns a dict of columns for the postings table: term_code, block_id,
+    n, doc_id_lo, doc_id_hi, max_tf, min_dl, sum_tf (numpy arrays) and
+    doc_ids/tfs/dls (lists of bytes).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    n_pairs = doc_ids.size
+    if n_pairs == 0:
+        empty_i = np.empty(0, dtype=np.int64)
+        return {
+            "term_code": empty_i, "block_id": empty_i, "n": empty_i,
+            "doc_id_lo": empty_i, "doc_id_hi": empty_i, "max_tf": empty_i,
+            "min_dl": empty_i, "sum_tf": empty_i,
+            "doc_ids": [], "tfs": [], "dls": [],
+        }
+
+    new_term = np.empty(n_pairs, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = term_codes[1:] != term_codes[:-1]
+    term_ordinal = np.cumsum(new_term) - 1
+    t_starts = np.flatnonzero(new_term)
+    pos_in_term = np.arange(n_pairs) - t_starts[term_ordinal]
+    b_starts = np.flatnonzero(pos_in_term % block_size == 0)
+    b_ends = np.append(b_starts[1:], n_pairs)
+    n_per = (b_ends - b_starts).astype(np.int64)
+
+    # Delta-encode docids with a reset at every block start (term starts
+    # are always block starts, so cross-term wraparound never survives).
+    d = np.empty_like(doc_ids)
+    d[0] = doc_ids[0]
+    d[1:] = doc_ids[1:] - doc_ids[:-1]
+    d[b_starts] = doc_ids[b_starts]
+
+    def _enc(vals):
+        buf, sizes = varint_encode_with_sizes(vals)
+        off = np.concatenate(([0], np.cumsum(sizes)))
+        return [buf[off[s] : off[e]] for s, e in zip(b_starts, b_ends)]
+
+    return {
+        "term_code": term_codes[b_starts],
+        "block_id": (pos_in_term[b_starts] // block_size).astype(np.int64),
+        "n": n_per,
+        "doc_id_lo": doc_ids[b_starts].astype(np.int64),
+        "doc_id_hi": doc_ids[b_ends - 1].astype(np.int64),
+        "max_tf": np.maximum.reduceat(tfs, b_starts).astype(np.int64),
+        "min_dl": np.minimum.reduceat(dls, b_starts).astype(np.int64),
+        "sum_tf": np.add.reduceat(tfs, b_starts).astype(np.int64),
+        "doc_ids": _enc(d),
+        "tfs": _enc(tfs),
+        "dls": _enc(dls),
+    }
+
+
+def decode_blocks_bulk(id_bufs, tf_bufs, dl_bufs, ns):
+    """Decode MANY blocks in one vectorized pass.
+
+    Returns (doc_ids, tfs, dls, block_index) where block_index maps each
+    decoded element back to its source block ordinal. The delta cumsum is
+    computed globally and re-based per block — no per-block Python.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, e, np.empty(0, dtype=np.int64)
+    deltas = varint_decode(b"".join(id_bufs), total)
+    tfs = varint_decode(b"".join(tf_bufs), total)
+    dls = varint_decode(b"".join(dl_bufs), total)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    c = np.cumsum(deltas, dtype=np.uint64)
+    c_before = np.concatenate(([np.uint64(0)], c[:-1]))
+    ids = c - np.repeat(c_before[starts], ns)
+    block_index = np.repeat(np.arange(ns.size, dtype=np.int64), ns)
+    return ids, tfs, dls, block_index

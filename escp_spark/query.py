@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow.dataset as pads
 
 from .analyzer import tokenize
-from .codec import decode_block
+from .codec import decode_block, decode_blocks_bulk
 from .functions.bm25 import bm25_contrib, bm25_upper_bound, idf_lucene
 from .sources.tables import load_manifest
 
@@ -124,16 +124,19 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
     np.maximum.at(max_ub_per_term, term_codes, ub)
     sum_max_ub = max_ub_per_term.sum()
 
+    id_bufs = blocks["doc_ids"].to_numpy()
+    tf_bufs = blocks["tfs"].to_numpy()
+    dl_bufs = blocks["dls"].to_numpy()
+    ns = blocks["n"].to_numpy()
+
     def score_rows(idx: np.ndarray):
-        ids_all, c_all = [], []
-        for i in idx:
-            r = blocks.iloc[int(i)]
-            ids, tfs, dls = decode_block(r["doc_ids"], r["tfs"], r["dls"], int(r["n"]))
-            ids_all.append(ids)
-            c_all.append(bm25_contrib(tfs, dls, avgdl, w_arr[int(i)]))
-        if not ids_all:
+        if idx.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0)
-        return _aggregate(np.concatenate(ids_all), np.concatenate(c_all))
+        ids, tfs, dls, blk = decode_blocks_bulk(
+            list(id_bufs[idx]), list(tf_bufs[idx]), list(dl_bufs[idx]), ns[idx]
+        )
+        contribs = bm25_contrib(tfs, dls, avgdl, w_arr[idx][blk])
+        return _aggregate(ids, contribs)
 
     # Seed: per term, the few highest-ub blocks.
     n_seed = max(1, math.ceil((k + 8) / 128) + 1)
@@ -246,15 +249,21 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         for pdf in batches:
             plan = plan_bc.value
             qids_out, dids_out, contribs_out = [], [], []
-            for r in pdf.itertuples(index=False):
-                targets = plan.get(r.term)
+            # Group rows by term: one bulk vectorized decode per term, then
+            # one (qid, weight) broadcast per query containing it.
+            for term, g in pdf.groupby("term", sort=False):
+                targets = plan.get(term)
                 if not targets:
                     continue
-                ids, tfs, dls = decode_block(r.doc_ids, r.tfs, r.dls, int(r.n))
+                ids, tfs, dls, _ = decode_blocks_bulk(
+                    list(g["doc_ids"]), list(g["tfs"]), list(g["dls"]),
+                    g["n"].to_numpy(),
+                )
                 base = bm25_contrib(tfs, dls, avgdl_bc, 1.0)
+                ids64 = ids.astype(np.int64)
                 for qid, w in targets:
-                    qids_out.append(np.full(ids.size, qid, dtype=np.int64))
-                    dids_out.append(ids.astype(np.int64))
+                    qids_out.append(np.full(ids64.size, qid, dtype=np.int64))
+                    dids_out.append(ids64)
                     contribs_out.append(base * w)
             if not qids_out:
                 continue
