@@ -260,6 +260,84 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (dedup family) — Catalyst-only
+    expression, bit-for-bit reproducible in the SQL oracle."""
+    from escp_spark.operators import simhash_expr
+
+    return simhash_expr(_read(spark, sf_dir, "documents"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID over documents (sampled)."""
+    from escp_spark.operators import langid_scores
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return langid_scores(d)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per doc (sampled)."""
+    from escp_spark.operators import quality_scores
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return quality_scores(d)
+
+
+def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (n-gram family, n=1) over a
+    doc sample — the verify step of the dedup pipeline."""
+    from escp_spark.operators import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return ngram_jaccard_pairs(d, n=1, threshold=0.6)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (hash-based — no SQL oracle; the
+    driver records a rows-only check; exactness is covered by pytest)."""
+    from escp_spark.operators import minhash_near_dups
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return minhash_near_dups(d, threshold=0.5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (no SQL oracle —
+    recall-vs-bruteforce is pytest-gated)."""
+    from escp_spark.operators import ann_lsh_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ann_lsh_topk(
+        e.filter(F.col("vec_id") != 0), probe, k=10, n_planes=8, probe_hamming=4
+    ).withColumn("cos", F.round("cos", 4))
+
+
+def q_filtered_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estail analog (cmd/estail/estail.go:22-106): bool terms filter
+    + time-range over the newest window, newest first — data-anchored
+    (max ts), not wall-clock, so it's deterministic."""
+    ev = _read(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+            & F.col("event_type").isin("click", "error")
+            & ~F.col("event_type").isin("signup")
+        )
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming op)."""
     ev = _read(spark, sf_dir, "events")
@@ -291,6 +369,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine": q_ann_cosine,
         "events_window_agg": q_events_window_agg,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "ann_lsh": q_ann_lsh,
+        "filtered_tail": q_filtered_tail,
     }
 
 
@@ -340,6 +425,24 @@ SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id,
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+
+
+def _simhash_oracle_sql() -> str:
+    from escp_spark.operators.dedup import simhash_sql
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        )
+        SELECT doc_id, ({simhash_sql('duckdb', 'term', 'tf')})::BIGINT AS simhash
+        FROM tf GROUP BY doc_id
+    """
+
+
+_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -452,5 +555,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "simhash": _SIMHASH_SQL,
+        "langid": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents WHERE doc_id % 5 = 0
+            ), s AS (
+              SELECT doc_id,
+                avg(CASE WHEN term IN ('the','and','of','to','is') THEN 1.0 ELSE 0.0 END) AS s_en,
+                avg(CASE WHEN term IN ('der','die','und','das','ist') THEN 1.0 ELSE 0.0 END) AS s_de,
+                avg(CASE WHEN term IN ('le','la','et','les','est') THEN 1.0 ELSE 0.0 END) AS s_fr,
+                avg(CASE WHEN term IN ('el','los','que','es','una') THEN 1.0 ELSE 0.0 END) AS s_es
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(s_en, 6) AS score_en, round(s_de, 6) AS score_de,
+                   round(s_fr, 6) AS score_fr, round(s_es, 6) AS score_es,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     length(text) AS n_chars
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                   round(n_chars * 1.0 / greatest(len(toks), 1), 6) AS chars_per_token,
+                   round((n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(len(list_filter(toks,
+                         t -> t IN ('the','a','of','and','to','in','is')))
+                         * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                         * 1.0 / greatest(n_chars, 1), 6) AS upper_ratio
+            FROM base
+        """,
+        "token_jaccard_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '[^\\W_]+')) AS toks
+              FROM documents WHERE doc_id % 25 = 0
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS un
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE len(a.toks) > 0 AND len(b.toks) > 0
+            )
+            SELECT id_a, id_b, round(inter * 1.0 / un, 6) AS jaccard
+            FROM p WHERE inter * 1.0 / un >= 0.6
+        """,
+        "filtered_tail": """
+            WITH m AS (SELECT max(ts) AS mt FROM events)
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   user_id, event_type, round(value, 4) AS value
+            FROM events, m
+            WHERE ts >= mt - INTERVAL 2 HOUR
+              AND event_type IN ('click', 'error')
+              AND event_type NOT IN ('signup')
+            ORDER BY ts DESC, event_id DESC LIMIT 50
         """,
     }

@@ -1,0 +1,329 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all Spark-first (the reference's only dedup is the
+last-write-wins batch map, esbulk/bulktypes.go:28-30 — implemented in
+build.dedup_last_write_wins; everything here extends that to *content*
+dedup, the thing a 100 TB web-text pipeline actually needs):
+
+- exact:       hash-groupBy on a content fingerprint (pure Catalyst).
+- MinHash+LSH: shingle → minhash signature (vectorized numpy in a pandas
+               UDF) → band → bucket self-join → exact-Jaccard verify
+               (JVM array_intersect — candidates only, never all pairs).
+- SimHash:     64 deterministic md5-derived bit positions, built as a
+               compile-time-generated Catalyst expression — runs entirely
+               JVM-side and is reproducible in ANSI SQL (DuckDB oracle).
+- n-gram Jaccard: token n-gram sets + exact pairwise Jaccard over
+               LSH/length-blocked candidates.
+- embedding:   cosine near-dup pairs over an embedding column, JVM
+               higher-order functions, blocked by an LSH bucket at scale.
+
+Scale shape: every pairwise step is candidate-blocked (bucket join) so
+the join is |bucket|² per bucket, never N². Buckets are hash-uniform;
+band count trades recall vs bucket size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analyzer import tokenize
+
+# Deterministic 61-bit Mersenne-prime hashing for MinHash.
+_MERSENNE = (1 << 61) - 1
+_MAX_SHINGLE_HASH = 1 << 32
+
+
+def _hash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash (keeps the smallest id as
+    the canonical keeper)."""
+    return (
+        df.groupBy(F.md5(text_col).alias("fingerprint"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 64,
+                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """(id, signature array<long>) — char-k-shingle MinHash.
+
+    Vectorized: per Arrow batch, all shingles of all docs are hashed with
+    one (n_shingles × n_hashes) broadcasted numpy multiply; minima are
+    taken with reduceat over doc boundaries. No per-row Python beyond the
+    shingle extraction itself.
+    """
+    a, b = _hash_params(n_hashes, seed)
+
+    def _sig(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sigs = np.full((len(pdf), n_hashes), _MERSENNE, dtype=np.uint64)
+            # Collect shingle base-hashes per doc.
+            all_h, doc_idx = [], []
+            for i, text in enumerate(pdf[text_col]):
+                t = text or ""
+                if len(t) < shingle_k:
+                    shingles = {t} if t else set()
+                else:
+                    shingles = {t[j : j + shingle_k] for j in range(len(t) - shingle_k + 1)}
+                if not shingles:
+                    continue
+                hs = np.frombuffer(
+                    b"".join(
+                        __import__("hashlib").md5(s.encode()).digest()[:8]
+                        for s in shingles
+                    ),
+                    dtype=np.uint64,
+                )
+                all_h.append(hs % _MAX_SHINGLE_HASH)
+                doc_idx.append(np.full(hs.size, i, dtype=np.int64))
+            if all_h:
+                h = np.concatenate(all_h)
+                d = np.concatenate(doc_idx)
+                # (n_shingles, n_hashes) permuted hashes, min per doc.
+                perm = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                order = np.argsort(d, kind="stable")
+                d_s, perm_s = d[order], perm[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], d_s[1:] != d_s[:-1]))
+                )
+                mins = np.minimum.reduceat(perm_s, starts, axis=0)
+                sigs[d_s[starts]] = mins
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "signature": [row.astype(np.int64) for row in (sigs & np.uint64(0x7FFFFFFFFFFFFFFF))],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _sig, f"{id_col} long, signature array<long>"
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_bands: int = 16) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) buckets —
+    the LSH candidate generator. Returns distinct (id_a < id_b) pairs."""
+    n = sigs.select(F.size("signature")).first()[0]
+    rows_per_band = n // n_bands
+    bands = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.7,
+                      n_hashes: int = 64, n_bands: int = 16,
+                      shingle_k: int = 5) -> DataFrame:
+    """LSH candidates verified with exact token-set Jaccard (JVM
+    array_intersect/array_union — no UDF in the verify)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sigs, id_col, n_bands)
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[^\\\\W_]+', 0)")
+        ).alias("toks"),
+    )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pure Catalyst expression, SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+def _bit_expr(engine: str, term: str, i: int) -> str:
+    """Bit i of a 32-bit md5-derived token hash, as portable SQL:
+    hex digit value via strpos('0123456789abcdef', ch) - 1."""
+    j = i // 4 + 1          # 1-based hex char position
+    k = 3 - (i % 4)         # bit within the nibble
+    if engine == "spark":
+        ch = f"substring(md5({term}), {j}, 1)"
+        val = f"(instr('0123456789abcdef', {ch}) - 1)"
+    else:
+        ch = f"substring(md5({term}), {j}, 1)"
+        val = f"(strpos('0123456789abcdef', {ch}) - 1)"
+    return f"(floor({val} / {1 << k}) % 2)"
+
+
+def simhash_sql(engine: str, term_col: str = "term", weight_col: str = "tf",
+                n_bits: int = 32) -> str:
+    """The SimHash aggregate as a SQL expression over (term, weight) rows:
+    Σ_i [ Σ_terms w·(2·bit_i − 1) ≥ 0 ] · 2^i. Identical text in Spark SQL
+    and DuckDB (md5 + strpos/instr are common), which is what makes the
+    operator oracle-checkable."""
+    parts = []
+    for i in range(n_bits):
+        bit = _bit_expr(engine, term_col, i)
+        parts.append(
+            f"(CASE WHEN sum({weight_col} * (2 * {bit} - 1)) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def simhash_expr(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:
+    """(id, simhash) — tf-weighted SimHash computed entirely JVM-side."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    ).groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    agg = F.expr(simhash_sql("spark", "term", "tf", n_bits))
+    return toks.groupBy(id_col).agg(agg.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      n_bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked
+    on 8-bit bytes of the hash (a pair within distance d shares at least
+    one of the ⌈n_bits/8⌉ bytes if d < n_bits/8 — standard pigeonhole
+    blocking, so the self-join is per-byte-bucket, never all-pairs)."""
+    sh = simhash_expr(df, text_col, id_col, n_bits)
+    n_bytes = n_bits // 8
+    blocked = sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[
+                (F.col("simhash").bitwiseAND(F.lit(0xFF << (8 * i)))).alias(f"b{i}")
+                for i in range(n_bytes)
+            ])
+        ).alias("byte_pos", "byte_val"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.byte_pos") == F.col("r.byte_pos"))
+            & (F.col("l.byte_val") == F.col("r.byte_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard + embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.15) -> DataFrame:
+    """Exact token-n-gram Jaccard for pairs sharing an n-gram-count
+    bucket (cheap blocking; swap in LSH blocking at scale)."""
+    toks_expr = f"regexp_extract_all(lower({text_col}), '[^\\\\W_]+', 0)"
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(
+                f"CASE WHEN size({toks_expr}) >= {n} THEN "
+                f"transform(sequence(1, size({toks_expr}) - {n - 1}), "
+                f"i -> concat_ws(' ', slice({toks_expr}, i, {n}))) "
+                f"ELSE array() END"
+            )
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-dup pairs — JVM higher-order functions for
+    the dot products; block with lsh_bucket_expr at scale (here the
+    all-pairs form, which the DuckDB oracle can mirror exactly)."""
+    withn = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
+                           lambda s, x: s + x)),
+    )
+    a = withn.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"),
+                     F.col("norm").alias("n_a"))
+    b = withn.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"),
+                     F.col("norm").alias("n_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
