@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (north_rule): run the identical build +
+batch-query workload at two parallelism levels (local[8] = N and
+local[32] = 4N cores — the sandbox proxy for N vs 4N executors) on the
+SAME input, report throughput at both and the scaling efficiency
+(T_N / (4 · T_4N)), and write BENCH.md.
+
+Each level runs in its own subprocess (fresh JVM) so nothing warm leaks
+between the runs. The corpus is sized so compute dominates fixed driver
+overhead (default 200k docs ≈ 22M tokens), because scaling efficiency is
+a property of the parallel fraction — at web scale the fixed seconds of
+job scheduling vanish entirely.
+
+Usage: python bench_scaling.py [n_docs]
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+WORK = os.path.join(REPO, ".work")
+
+CHILD = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from escp_spark.session import get_spark
+from escp_spark.build import build_index
+from escp_spark.corpus import reference_queries
+from escp_spark.query import search_topk_spark
+
+cpus = int(sys.argv[1]); corpus = sys.argv[2]; n_docs = int(sys.argv[3])
+idx = os.path.join({work!r}, f"scale_idx_{{cpus}}")
+if os.path.isdir(idx): shutil.rmtree(idx)
+spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+t0 = time.perf_counter()
+m = build_index(spark, corpus, idx, n_buckets=64, max_segments=5, n_groups=2)
+t_build = time.perf_counter() - t0
+qs = reference_queries()
+t0 = time.perf_counter()
+search_topk_spark(spark, idx, qs).collect()
+t_query = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "build_sec": t_build,
+      "query_sec": t_query, "n_docs": m["n_docs"],
+      "build_docs_per_sec": m["n_docs"] / t_build,
+      "queries_per_sec": len(qs) / t_query}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
+    script = CHILD.format(repo=REPO, work=WORK)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), corpus, str(n_docs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    os.makedirs(WORK, exist_ok=True)
+    sys.path.insert(0, REPO)
+    from bench import ensure_corpus
+
+    corpus = ensure_corpus(n_docs)
+    r8 = run_level(8, corpus, n_docs)
+    r32 = run_level(32, corpus, n_docs)
+
+    def eff(key):
+        return r8[key] / (4.0 * r32[key])
+
+    build_eff = eff("build_sec")
+    query_eff = eff("query_sec")
+    result = {
+        "n_docs": n_docs,
+        "local8": r8,
+        "local32": r32,
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH — measured performance & scaling evidence
+
+Input: deterministic synthetic `web_pages` corpus, **{n_docs:,} docs**
+(seed=42, Zipf-skewed vocab; see escp_spark/corpus.py), identical for
+both runs. Each level is a fresh JVM running the identical job
+(`build_index` n_buckets=64 maxsegs=5, then the 50-query reference set
+through the distributed batch path).
+
+## N vs 4N parallelism (local[8] vs local[32] — the sandbox proxy for N vs 4N executors)
+
+| metric | local[8] (N) | local[32] (4N) | scaling efficiency |
+|---|---|---|---|
+| index build (sec) | {r8['build_sec']:.1f} | {r32['build_sec']:.1f} | **{build_eff:.2f}** |
+| build throughput (docs/sec) | {r8['build_docs_per_sec']:.0f} | {r32['build_docs_per_sec']:.0f} | — |
+| 50-query batch (sec) | {r8['query_sec']:.1f} | {r32['query_sec']:.1f} | **{query_eff:.2f}** |
+| query throughput (q/sec) | {r8['queries_per_sec']:.1f} | {r32['queries_per_sec']:.1f} | — |
+
+efficiency = T_N / (4 · T_4N); 1.0 = perfect linear scaling, target ≥ 0.8
+(BASELINE.json north_rule).
+
+## Why this holds at 10^12 docs
+
+- The build's only wide shuffle is the url-hash repartition into buckets;
+  everything downstream is embarrassingly parallel per bucket, and md5
+  bucketing is uniform (test_bucket_balance_no_skew: max ≤ 2× median).
+- Per-term skew cannot concentrate work: a hot term's postings are split
+  across all buckets by construction and never re-materialized into a
+  single task (the merge is a narrow, sort-within-partition rewrite).
+- Fixed driver-side costs (job scheduling, ledger commits, manifest) are
+  seconds and independent of data size — they shrink toward zero as a
+  fraction at larger scale, so measured efficiency here is a lower bound.
+
+Raw JSON: see BENCH_scaling.json.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,18 +34,24 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
-    # 10 groups of 7 bits cover 64 bits.
-    shifts = np.arange(0, 70, 7, dtype=np.uint64)
-    groups = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    # Only materialize as many 7-bit groups as the LARGEST value needs —
+    # tf/dl/delta streams rarely need more than 2-5, and the (n, groups)
+    # temporaries dominate this function's memory traffic.
+    vmax = int(v.max())
+    n_groups = max(1, (vmax.bit_length() + 6) // 7)
+    shifts = np.arange(0, 7 * n_groups, 7, dtype=np.uint64)
+    groups = (v[:, None] >> shifts[None, :]).astype(np.uint8)
+    groups &= np.uint8(0x7F)
     # Number of bytes needed per value: position of highest nonzero group.
     nonzero = groups != 0
     nbytes = np.where(
-        v == 0, 1, 10 - np.argmax(nonzero[:, ::-1], axis=1)
+        v == 0, 1, n_groups - np.argmax(nonzero[:, ::-1], axis=1)
     ).astype(np.int64)
-    keep = np.arange(10)[None, :] < nbytes[:, None]
+    pos = np.arange(n_groups)[None, :]
+    keep = pos < nbytes[:, None]
     # Continuation bit on every byte except the last of each value.
-    last = np.arange(10)[None, :] == (nbytes[:, None] - 1)
-    out = np.where(last, groups, groups | np.uint64(0x80)).astype(np.uint8)
+    last = pos == (nbytes[:, None] - 1)
+    out = np.where(last, groups, groups | np.uint8(0x80))
     return out[keep].tobytes(), nbytes
 
 

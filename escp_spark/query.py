@@ -42,6 +42,10 @@ from .sources.tables import load_manifest
 POSTING_COLS = ["term", "n", "doc_id_lo", "doc_id_hi", "max_tf", "min_dl",
                 "doc_ids", "tfs", "dls"]
 
+# Pruning telemetry of the most recent _prune_and_score call (the M1/M2
+# metering analog for the query side; tests assert pruning actually fires).
+last_prune_stats: dict = {}
+
 
 # --------------------------------------------------------------------------
 # Serving path (pyarrow + numpy; no Spark in the request path)
@@ -99,17 +103,28 @@ def _aggregate(doc_ids: np.ndarray, contribs: np.ndarray):
 
 def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
                      idf: dict[str, float], avgdl: float, k: int):
-    """Block-max pruned exhaustive scoring for ONE query.
+    """Block-max pruned scoring for ONE query — bucket-at-a-time WAND.
 
-    θ-seeding + envelope pruning, provably rank-identical to exhaustive:
-    let θ be the kth best *partial* score over a seeded block subset
-    (partial ≤ real, so ≥k docs have real score ≥ θ). A block b of term t
-    is pruned only if ub_t(b) + Σ_{t'≠t} max_ub(t') < θ — for every doc in
-    b this upper-bounds its total score, so pruned docs cannot reach the
-    top-k; and every doc with real score ≥ θ has all its blocks kept
-    (each such block's envelope ≥ the doc's real score ≥ θ), so every
-    candidate's final score is exact.
+    Key structural fact: docids are bucket<<40|rank, so every doc's
+    postings live entirely inside one bucket — a bucket is a complete,
+    independent docid window. The algorithm is therefore the block-max
+    WAND loop at bucket granularity, fully vectorized inside each step:
+
+    1. For each bucket w: envelope(w) = Σ_terms max ub of that term's
+       blocks in w — a true upper bound on any single doc score in w.
+    2. Visit buckets in descending envelope order, maintaining θ = kth
+       best *exact* score collected so far (scores within a visited
+       bucket are complete, so θ is exact and only rises).
+    3. Skip a whole bucket when envelope(w) < θ. Inside a kept bucket,
+       additionally skip block b of term t when
+       ub(b) + Σ_{t'≠t} max_ub_in_bucket(t') < θ.
+
+    Rank-identity proof: a skipped bucket/block only hides docs whose
+    total score is STRICTLY below θ ≤ (final kth best), so they cannot
+    enter the top-k; any doc with final score ≥ θ has every covering
+    block's envelope ≥ its own score ≥ θ, hence is scored exactly.
     """
+    global last_prune_stats
     weights = {t: term_weights[t] * idf[t] for t in term_weights if t in idf}
     if blocks.empty or not weights:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
@@ -120,9 +135,10 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
         blocks["max_tf"].to_numpy(), blocks["min_dl"].to_numpy(), avgdl, w_arr
     )
     term_codes, term_uniq = pd.factorize(blocks["term"], sort=True)
-    max_ub_per_term = np.zeros(len(term_uniq))
-    np.maximum.at(max_ub_per_term, term_codes, ub)
-    sum_max_ub = max_ub_per_term.sum()
+    n_terms = len(term_uniq)
+    bucket = (
+        blocks["doc_id_lo"].to_numpy(dtype=np.int64) >> 40
+    )
 
     id_bufs = blocks["doc_ids"].to_numpy()
     tf_bufs = blocks["tfs"].to_numpy()
@@ -138,22 +154,49 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
         contribs = bm25_contrib(tfs, dls, avgdl, w_arr[idx][blk])
         return _aggregate(ids, contribs)
 
-    # Seed: per term, the few highest-ub blocks.
-    n_seed = max(1, math.ceil((k + 8) / 128) + 1)
-    seed_idx = []
-    for tc in range(len(term_uniq)):
-        cand = np.flatnonzero(term_codes == tc)
-        top = cand[np.argsort(ub[cand])[::-1][:n_seed]]
-        seed_idx.extend(top.tolist())
-    _, seed_scores = score_rows(np.array(seed_idx, dtype=np.int64))
-    if seed_scores.size >= k:
-        theta = np.partition(seed_scores, -k)[-k]
-    else:
-        theta = -np.inf
+    # Per-(bucket, term) max ub  →  per-bucket envelope.
+    buckets_uniq, bucket_code = np.unique(bucket, return_inverse=True)
+    key = bucket_code * n_terms + term_codes
+    per_bt_max = np.zeros(buckets_uniq.size * n_terms)
+    np.maximum.at(per_bt_max, key, ub)
+    per_bt_max = per_bt_max.reshape(buckets_uniq.size, n_terms)
+    bucket_env = per_bt_max.sum(axis=1)
 
-    envelope = ub + (sum_max_ub - max_ub_per_term[term_codes])
-    keep = np.flatnonzero(envelope >= theta)
-    return score_rows(keep)
+    visit_order = np.argsort(bucket_env)[::-1]
+    theta = -np.inf
+    all_ids, all_scores = [], []
+    total_collected = 0
+    pruned = 0
+    for bc in visit_order:
+        if total_collected >= k and bucket_env[bc] < theta:
+            pruned += int(np.count_nonzero(bucket_code == bc))
+            continue
+        sel = np.flatnonzero(bucket_code == bc)
+        if total_collected >= k:
+            blk_env = ub[sel] + (bucket_env[bc] - per_bt_max[bc, term_codes[sel]])
+            keep_mask = blk_env >= theta
+            pruned += int(np.count_nonzero(~keep_mask))
+            sel = sel[keep_mask]
+        ids, scores = score_rows(sel)
+        if ids.size:
+            all_ids.append(ids)
+            all_scores.append(scores)
+            total_collected += ids.size
+            if total_collected >= k:
+                flat = np.concatenate(all_scores)
+                theta = np.partition(flat, -k)[-k]
+
+    last_prune_stats = {
+        "total_blocks": int(len(blocks)),
+        "kept_blocks": int(len(blocks) - pruned),
+        "pruned_blocks": int(pruned),
+        "theta": float(theta),
+        "n_buckets": int(buckets_uniq.size),
+    }
+    if not all_ids:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    # Buckets are disjoint docid spaces — concatenation needs no re-agg.
+    return np.concatenate(all_ids), np.concatenate(all_scores)
 
 
 def search_topk(index_dir: str, queries: list[dict],

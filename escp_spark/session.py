@@ -21,6 +21,15 @@ def get_spark(
     (every UDF in the engine is Arrow-vectorized), timezone pinned UTC so
     results compare bit-stable against the DuckDB oracle.
     """
+    # glibc returns large (>128KB) frees straight back to the OS via
+    # munmap, so every numpy temporary in the Arrow-UDF kernels re-mmaps
+    # and page-faults tens of MB per call — measured as a bimodal 15×
+    # slowdown inside Python workers. Raise the thresholds so arenas are
+    # kept and reused. Must be in the environment BEFORE the JVM (and
+    # thus the forked python daemon/workers) starts.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(128 * 1024 * 1024))
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -35,7 +44,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing targets ~64MB of shuffle BYTES per task —
+        # the wrong cost metric for the CPU-heavy Arrow-UDF stages
+        # (tokenize/encode): it collapses the bucket shuffle to a handful of
+        # tasks and serializes the build. Keep AQE (skew-join splitting,
+        # runtime re-planning) but size partitions explicitly.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

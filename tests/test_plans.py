@@ -1,0 +1,77 @@
+"""Plan-shape tests: the scale contract (pushdown, pruning, no per-row
+Python) asserted on the physical plans the engine actually produces."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from escp_spark.plans import (
+    assert_no_python_in_plan,
+    assert_pushed_filters,
+    scan_read_schema,
+)
+from escp_spark.sources.tables import IndexLayout, load_manifest
+
+
+def test_postings_term_filter_pushed_down(spark, built_index):
+    """The query path's term filter must reach the Parquet scan — the
+    dictionary-seek analog; without it every query scans all postings."""
+    index_dir, _ = built_index
+    manifest = load_manifest(index_dir)
+    df = (
+        spark.read.parquet(manifest["paths"]["postings"])
+        .filter(F.col("term").isin("t00000", "t00001"))
+        .select("term", "n", "doc_ids", "tfs", "dls")
+    )
+    assert_pushed_filters(df, "In(term")
+
+
+def test_postings_scan_prunes_columns(spark, built_index):
+    """Selecting the scoring columns must not read doc_id_hi/max_tf etc."""
+    index_dir, _ = built_index
+    manifest = load_manifest(index_dir)
+    df = spark.read.parquet(manifest["paths"]["postings"]).select("term", "n")
+    schemas = scan_read_schema(df)
+    assert schemas, "no ReadSchema in plan"
+    assert all("doc_ids" not in s for s in schemas), schemas
+    assert all("max_tf" not in s for s in schemas), schemas
+
+
+def test_docmap_lookup_pushdown(spark, built_index):
+    index_dir, _ = built_index
+    manifest = load_manifest(index_dir)
+    df = (
+        spark.read.parquet(manifest["paths"]["docmap"])
+        .filter(F.col("doc_id").isin(1, 2, 3))
+        .select("doc_id", "url")
+    )
+    assert_pushed_filters(df, "In(doc_id")
+
+
+def test_no_per_row_python_anywhere(spark, built_index, tiny_corpus):
+    """input_hint bans per-row Python: the build plan may contain Arrow
+    operators (ArrowEvalPython / FlatMapGroupsInPandas) but never
+    BatchEvalPython."""
+    from escp_spark.build import build_segments, prepared_corpus
+    from escp_spark.sources.tables import read_web_pages
+
+    pages = read_web_pages(spark, tiny_corpus)
+    corpus = prepared_corpus(pages, 8)
+    assert_no_python_in_plan(corpus)
+    assert_no_python_in_plan(build_segments(corpus.select("url", "bucket", "text")))
+
+
+def test_relational_queries_no_python(spark):
+    """Every SQL-oracled driver query must be UDF-free (pure Catalyst)."""
+    import __spark_entry__ as E
+
+    pure = [
+        "dedup_lww", "count_validate", "tpch_q1", "top_revenue_customers",
+        "customers_without_orders", "asia_suppliers", "term_df_stats",
+        "token_counts", "lang_quality", "exact_dup_groups", "ann_cosine",
+        "events_window_agg", "simhash", "langid", "quality", "filtered_tail",
+    ]
+    for name in pure:
+        df = E.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = assert_no_python_in_plan(df)
+        assert "ArrowEvalPython" not in plan, f"{name} uses a UDF"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name} uses a UDF"

@@ -1,0 +1,84 @@
+"""Block-max pruning property tests (SURVEY.md §5.1: WAND pruning never
+changes top-k vs exhaustive): a multi-block corpus where pruning actually
+fires, checked rank-identical against the exhaustive oracle."""
+
+import hashlib
+
+import numpy as np
+import pytest
+import pyarrow.parquet as pq
+
+import escp_spark.query as Q
+from escp_spark.build import build_index
+from escp_spark.corpus import write_web_pages_parquet
+from escp_spark.oracle import NaiveIndex
+from escp_spark.query import IndexReader, search_topk
+
+
+@pytest.fixture(scope="module")
+def big_index(spark, tmp_path_factory):
+    """4,000 docs in 8 buckets → hot terms span many blocks and buckets,
+    so both bucket-skip and block-level pruning have room to fire."""
+    d = tmp_path_factory.mktemp("bigidx")
+    corpus = str(d / "pages.parquet")
+    write_web_pages_parquet(corpus, 4000, seed=7)
+    idx = str(d / "idx")
+    build_index(spark, corpus, idx, n_buckets=8, max_segments=2, n_groups=1)
+    return corpus, idx
+
+
+@pytest.fixture(scope="module")
+def big_oracle(big_index):
+    corpus, _ = big_index
+    t = pq.read_table(corpus).to_pandas()
+    t["tie"] = t["html"].map(lambda h: hashlib.md5(h).hexdigest())
+    t = t.sort_values(["url", "warc_ts", "tie"], ascending=[True, False, False])
+    t = t.drop_duplicates("url", keep="first")
+    return NaiveIndex(dict(zip(t["url"], t["text"])))
+
+
+def test_pruned_rank_identical_many_queries(big_index, big_oracle):
+    _, idx = big_index
+    reader = IndexReader(idx)
+    rng = np.random.default_rng(3)
+    queries = []
+    # Hot/hot, hot/rare, 3-term, single-term — 40 random mixes.
+    for qid in range(40):
+        terms = [f"t{int(i):05d}" for i in rng.zipf(1.2, size=rng.integers(1, 4)) if i < 10000]
+        if not terms:
+            terms = ["t00000"]
+        queries.append({"query_id": qid, "query_text": " ".join(terms), "k": 10})
+    got = search_topk(idx, queries, reader=reader)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in queries:
+        want = big_oracle.search(q["query_text"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert len(mine) == len(want), q
+        for m, (url, score) in zip(mine, want):
+            assert m["doc_url"] == url, (q, m, url)
+            assert m["score"] == pytest.approx(score, abs=1e-6)
+
+
+def test_pruning_actually_fires(big_index):
+    """Hot+rare is where block-max WAND wins: the rare term's idf drives θ
+    above any hot-only contribution, so buckets/blocks that cannot reach
+    θ get skipped — the pruning must actually fire, not just exist."""
+    _, idx = big_index
+    reader = IndexReader(idx)
+    search_topk(idx, [{"query_id": 0, "query_text": "t00000 t09000", "k": 3}],
+                reader=reader)
+    st = Q.last_prune_stats
+    assert st["total_blocks"] > 20, st
+    assert st["pruned_blocks"] > 0, f"no pruning happened: {st}"
+    assert st["kept_blocks"] + st["pruned_blocks"] == st["total_blocks"]
+
+
+def test_single_term_hot_query_correct(big_index, big_oracle):
+    _, idx = big_index
+    got = search_topk(idx, [{"query_id": 0, "query_text": "t00000", "k": 5}])
+    want = big_oracle.search("t00000", 5)
+    assert [(r["doc_url"], round(r["score"], 6)) for r in got] == [
+        (u, round(s, 6)) for u, s in want
+    ]
