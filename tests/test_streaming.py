@@ -1,0 +1,103 @@
+"""Streaming ingest: incremental epochs must yield query results
+rank-identical to a batch build over the same corpus (urls + scores —
+docids legitimately differ because epoch-scoped buckets assign them)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from escp_spark.corpus import generate_web_pages
+from escp_spark.query import search_topk
+from escp_spark.streaming import finalize_streamed_index, stream_ingest_once
+
+
+@pytest.fixture(scope="module")
+def stream_source(tmp_path_factory):
+    """The corpus split into 3 parquet files (arriving 'over time')."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("stream_src")
+    cols = generate_web_pages(600, seed=11)
+    table = pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(cols["html"], pa.binary()),
+            "text": pa.array(cols["text"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+        }
+    )
+    # Streaming ingest is append-only across epochs (first write wins;
+    # see ingest.py docstring) while the batch build is last-write-wins,
+    # so for the equivalence check feed a url-deduplicated stream (the
+    # documented operating condition for streamed corpora).
+    pdf = table.to_pandas().sort_values("warc_ts").drop_duplicates(
+        "url", keep="last"
+    ).sort_index()
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(table.schema)
+    n = table.num_rows
+    for i in range(3):
+        pq.write_table(table.slice(i * n // 3, n // 3 + (n % 3 if i == 2 else 0)),
+                       str(d / f"part{i}.parquet"))
+    return str(d)
+
+
+def test_stream_ingest_matches_batch_build(spark, stream_source, tmp_path):
+    from pyspark.sql import types as T
+
+    from escp_spark.build import build_index
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    stream_idx = str(tmp_path / "stream_idx")
+    n_epochs = stream_ingest_once(spark, stream_source, stream_idx, schema,
+                                  n_buckets=4)
+    assert n_epochs >= 2, "expected multiple micro-batches"
+    manifest = finalize_streamed_index(spark, stream_idx, max_segments=3)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_index(spark, stream_source, batch_idx, n_buckets=4,
+                max_segments=3, n_groups=1)
+
+    # Same doc count (no dup urls across the split) and rank-identical
+    # results on a mixed query set.
+    from escp_spark.sources.tables import load_manifest
+
+    assert manifest["n_docs"] == load_manifest(batch_idx)["n_docs"]
+    queries = [
+        {"query_id": 0, "query_text": "t00000", "k": 10},
+        {"query_id": 1, "query_text": "t00000 t09500", "k": 10},
+        {"query_id": 2, "query_text": "t00001 t00200", "k": 5},
+    ]
+    got_s = [(r["query_id"], r["rank"], r["doc_url"], round(r["score"], 9))
+             for r in search_topk(stream_idx, queries)]
+    got_b = [(r["query_id"], r["rank"], r["doc_url"], round(r["score"], 9))
+             for r in search_topk(batch_idx, queries)]
+    assert got_s == got_b
+
+
+def test_stream_restart_skips_ingested(spark, stream_source, tmp_path):
+    """Restart safety: a second drain over the same source must ingest
+    nothing new (streaming checkpoint = the scroll-continuation analog,
+    esscroll.go:293-294)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    idx = str(tmp_path / "restart_idx")
+    first = stream_ingest_once(spark, stream_source, idx, schema, n_buckets=4)
+    assert first >= 1
+    again = stream_ingest_once(spark, stream_source, idx, schema, n_buckets=4)
+    assert again == 0
