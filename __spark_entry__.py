@@ -338,6 +338,52 @@ def q_filtered_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path (pyarrow + numpy block-max WAND, no Spark in the
+    request loop) against the same SQL oracle as the batch path — proves
+    the pruning is rank-identical, not just the distributed job."""
+    from escp_spark.docindex import URL_PREFIX, ensure_documents_index
+    from escp_spark.query import search_topk
+
+    index_dir = ensure_documents_index(spark, sf_dir)
+    rows = search_topk(index_dir, DOC_QUERIES)
+    out = [
+        (r["query_id"], r["rank"], int(r["doc_url"][len(URL_PREFIX):]),
+         round(r["score"], 4))
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out, "query_id int, rank int, doc_id long, score double"
+    )
+
+
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregate (customer ⋈ orders ⋈ nation) — TPC-H-Q5-ish."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_doc_rank_in_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: longest 3 docs per language (rank + tie-break)."""
+    d = _read(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming op)."""
     ev = _read(spark, sf_dir, "events")
@@ -376,6 +422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "filtered_tail": q_filtered_tail,
+        "bm25_serving": q_bm25_serving,
+        "revenue_by_segment": q_revenue_by_segment,
+        "doc_rank_in_lang": q_doc_rank_in_lang,
     }
 
 
@@ -555,6 +604,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "bm25_serving": _BM25_SQL,
+        "revenue_by_segment": """
+            SELECT n_name, c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_mktsegment
+        """,
+        "doc_rank_in_lang": """
+            SELECT lang, rnk, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rnk
+              FROM documents
+            ) WHERE rnk <= 3
         """,
         "simhash": _SIMHASH_SQL,
         "langid": """
