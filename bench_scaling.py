@@ -44,7 +44,11 @@ warm_python_workers(spark)
 t0 = time.perf_counter()
 m = build_index(spark, corpus, idx, n_buckets=128, max_segments=5, n_groups=1)
 t_build = time.perf_counter() - t0
-qs = reference_queries()
+# 4x-tiled reference set (distinct qids): a 200-query batch so the
+# distributed-path fixed costs (dictionary collect, docmap join)
+# amortize the way a real batch workload would.
+qs = [dict(q, query_id=q["query_id"] + 100 * i)
+      for i in range(4) for q in reference_queries()]
 t0 = time.perf_counter()
 search_topk_spark(spark, idx, qs).collect()
 t_query = time.perf_counter() - t0
