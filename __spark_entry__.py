@@ -384,6 +384,58 @@ def q_doc_rank_in_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum — the batch form of
+    session_window; per-session stats per user."""
+    # The NTZ→LTZ epoch cast is session-tz-sensitive; pin UTC so it
+    # matches DuckDB's epoch(naive) regardless of the host session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", gap)
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user cohort × event type as columns."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 10).cast("int")
+    )
+    return (
+        ev.groupBy("cohort")
+        .pivot("event_type", ["click", "view", "signup", "error", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over lineitem (subtotal + grand-total rows)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming op)."""
     ev = _read(spark, sf_dir, "events")
@@ -425,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_serving": q_bm25_serving,
         "revenue_by_segment": q_revenue_by_segment,
         "doc_rank_in_lang": q_doc_rank_in_lang,
+        "sessionize": q_sessionize,
+        "event_type_pivot": q_event_type_pivot,
+        "rollup_lineitem": q_rollup_lineitem,
     }
 
 
@@ -606,6 +661,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "bm25_serving": _BM25_SQL,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, value, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*) AS n_events, round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "event_type_pivot": """
+            SELECT (user_id % 10)::INT AS cohort,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'view')     AS view,
+                   count(*) FILTER (event_type = 'signup')   AS signup,
+                   count(*) FILTER (event_type = 'error')    AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase
+            FROM events GROUP BY 1
+        """,
+        "rollup_lineitem": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "revenue_by_segment": """
             SELECT n_name, c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
                    count(*) AS n_orders
