@@ -387,13 +387,14 @@ def q_doc_rank_in_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min cumsum — the batch form of
     session_window; per-session stats per user."""
-    # The NTZ→LTZ epoch cast is session-tz-sensitive; pin UTC so it
-    # matches DuckDB's epoch(naive) regardless of the host session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Timestamp SUBTRACTION is timezone-free (works on NTZ, exact to the
+    # microsecond) — no session-tz mutation and no whole-second epoch
+    # truncation on either side of the oracle compare.
     ev = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    gap = F.when(
+        F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(0)
     sess = (
         ev.withColumn("new_sess", gap)
         .withColumn("session_id", F.sum("new_sess").over(
@@ -561,14 +562,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "count_validate": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
             FROM documents GROUP BY lang
         """,
         "sampled_diff": """
             SELECT CASE WHEN length(text) = n_chars
                         THEN 'matched' ELSE 'mismatched' END AS status,
-                   count(*) AS checked, sum(n_chars) AS bytes
+                   count(*) AS checked, sum(n_chars)::BIGINT AS bytes
             FROM documents WHERE doc_id % 20 = 0 GROUP BY 1
         """,
         "tpch_q1": """
@@ -664,8 +665,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             WITH g AS (
               SELECT user_id, event_id, value, ts,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                     CASE WHEN ts - lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
             ), s AS (

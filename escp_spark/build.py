@@ -26,7 +26,7 @@ escp behaviors carried over:
   ``max_segments`` (the ``-maxsegs`` analog, default 5) and the index only
   becomes visible via the final atomic manifest publish.
 - **Last-write-wins on duplicate ids** (esbulk/bulktypes.go:28-30), made
-  deterministic: latest ``warc_ts`` wins, ties broken by md5(text).
+  deterministic: latest ``warc_ts`` wins, ties broken by md5(html).
 
 Scale notes (the 10^12-doc design point):
 - One wide shuffle total: the url-hash repartition that co-locates each
