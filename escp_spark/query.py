@@ -255,8 +255,11 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     row-group stats on the sorted term column), scoring happens in
     `mapInPandas` with in-task partial aggregation so the shuffle into
     `groupBy(query_id, doc_id)` carries one row per (query, doc, task) —
-    the map-side-combine analog. The docmap join only sees the tiny
-    tie-complete candidate set (broadcast), never the full doc space.
+    the map-side-combine analog. The aggregated scores then pass a
+    partition-local tie-complete top-k (narrow, rank-safe — see inline
+    proof) so the per-query rank window ranks ≤ n_partitions × k rows,
+    never a hot query's full candidate set. The docmap join only sees the
+    tiny tie-complete candidate set (broadcast), never the full doc space.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -340,12 +343,39 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         F.sum("partial").alias("score")
     )
 
+    # Partition-local tie-complete top-k BEFORE the per-query rank window.
+    # After the groupBy, every (query_id, doc_id) score is FINAL, so a
+    # local cut at the k-th largest local score is rank-safe: a row cut
+    # locally has ≥ k local rows strictly above it, hence ≥ k global rows
+    # above it, hence it can never be in the global tie-complete top-k.
+    # This bounds the window's input to ≤ n_partitions × k rows per query
+    # — without it, a hot single-term query ships its entire candidate
+    # set (≈ all docs at 100×) into ONE window partition for sorting.
+    k_max = max(q["k"] for q in queries)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = []
+            for _, g in pdf.groupby("query_id", sort=False):
+                s = g["score"].to_numpy()
+                if s.size > k_max:
+                    kth = np.partition(s, -k_max)[-k_max]
+                    g = g[s >= kth]          # ≥ keeps boundary ties
+                keep.append(g)
+            yield pd.concat(keep)
+
+    bounded = scores.mapInPandas(
+        local_topk, "query_id int, doc_id long, score double"
+    )
+
     kdf = spark.createDataFrame(
         [(q["query_id"], q["k"]) for q in queries], "query_id int, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
     cand = (
-        scores.join(F.broadcast(kdf), "query_id")
+        bounded.join(F.broadcast(kdf), "query_id")
         .withColumn("rk", F.rank().over(w))         # rank() keeps boundary ties
         .filter(F.col("rk") <= F.col("k"))
     )

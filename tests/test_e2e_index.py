@@ -106,3 +106,25 @@ def test_docids_unique_and_bucketed(spark, built_index):
         (F.col("doc_id") / F.lit(1 << 40)).cast("int") != F.col("bucket")
     ).count()
     assert bad == 0
+
+
+def test_spark_batch_path_small_k_bounded_topk(spark, built_index):
+    """The partition-local top-k cut (query.py local_topk) is rank-safe:
+    small k on a hot term — where the cut actually discards candidates —
+    must stay identical to the serving path, including boundary ties
+    (the cut keeps score >= kth, so (score desc, url asc) stays exact)."""
+    index_dir, _ = built_index
+    qs = [
+        {"query_id": 0, "query_text": "t00000", "k": 1},
+        {"query_id": 1, "query_text": "t00001 t00002", "k": 2},
+        {"query_id": 2, "query_text": "t00000 t00003", "k": 3},
+    ]
+    got = {
+        (r.query_id, r.rank): (r.doc_url, round(r.score, 6))
+        for r in search_topk_spark(spark, index_dir, qs).collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["doc_url"], round(r["score"], 6))
+        for r in search_topk(index_dir, qs)
+    }
+    assert got == exp and got
