@@ -294,11 +294,14 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection (hash-based — no SQL oracle; the
-    driver records a rows-only check; exactness is covered by pytest)."""
+    """MinHash+LSH near-dup detection. Scheme v2's BIGINT-exact hashing
+    makes the full pipeline (shingle hash → signature minima → band
+    candidates → Jaccard verify) reproducible in the DuckDB oracle."""
     from escp_spark.operators import minhash_near_dups
 
-    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = _read(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") >= 5)
+    )
     return minhash_near_dups(d, threshold=0.5)
 
 
@@ -532,6 +535,12 @@ ORDER BY query_id, rank
 """
 
 
+def _minhash_oracle_sql() -> str:
+    from escp_spark.operators.dedup import minhash_near_dups_sql
+
+    return minhash_near_dups_sql(doc_filter="doc_id % 10 = 0", threshold=0.5)
+
+
 def _simhash_oracle_sql() -> str:
     from escp_spark.operators.dedup import simhash_sql
 
@@ -715,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "simhash": _SIMHASH_SQL,
+        "minhash_near_dups": _minhash_oracle_sql(),
         "langid": """
             WITH toks AS (
               SELECT doc_id,

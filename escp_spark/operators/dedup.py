@@ -32,16 +32,45 @@ from pyspark.sql import types as T
 
 from ..analyzer import tokenize
 
-# Deterministic 61-bit Mersenne-prime hashing for MinHash.
+# Deterministic 61-bit Mersenne-prime hashing for MinHash (scheme v2).
+# Shingles are hashed with an iterated polynomial over code points
+# (h = (h*B + cp) mod 2^32) and permuted with (a*h + b) mod M where
+# a, b < 2^31 — every intermediate fits in a signed 64-bit integer with
+# NO wraparound, so the exact same arithmetic is expressible in ANSI SQL
+# (the DuckDB oracle, minhash_near_dups_sql) and in any BIGINT engine.
 _MERSENNE = (1 << 61) - 1
 _MAX_SHINGLE_HASH = 1 << 32
+_SHINGLE_BASE = 65599
+MINHASH_SCHEME_VERSION = 2
 
 
 def _hash_params(n_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    a = rng.integers(1, 1 << 31, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, size=n_hashes, dtype=np.uint64)
     return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """All char-k-window polynomial hashes of ``text``, vectorized.
+
+    One numpy pass per window OFFSET (k slice-multiply-adds total), not
+    per shingle — replaces the per-shingle hashlib.md5 loop that was the
+    v1 throughput bottleneck. Texts shorter than k yield one window over
+    the available chars (matching SQL's substring(text, 1, k) == text).
+    Duplicate shingles are NOT deduped: min() is multiset-invariant.
+    """
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = cps.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    nw = max(n - k + 1, 1)
+    h = np.zeros(nw, dtype=np.uint64)
+    base = np.uint64(_SHINGLE_BASE)
+    mod = np.uint64(_MAX_SHINGLE_HASH)
+    for i in range(min(k, n)):
+        h = (h * base + cps[i : i + nw]) % mod
+    return h
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -62,12 +91,14 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 64,
                        shingle_k: int = 5, seed: int = 42) -> DataFrame:
-    """(id, signature array<long>) — char-k-shingle MinHash.
+    """(id, signature array<long>) — char-k-shingle MinHash (scheme v2).
 
-    Vectorized: per Arrow batch, all shingles of all docs are hashed with
-    one (n_shingles × n_hashes) broadcasted numpy multiply; minima are
-    taken with reduceat over doc boundaries. No per-row Python beyond the
-    shingle extraction itself.
+    Vectorized end-to-end: shingle hashing is k slice-ops per doc
+    (_shingle_hashes — no per-shingle Python, no md5), then all shingles
+    of the Arrow batch are permuted with ONE (n_shingles × n_hashes)
+    broadcasted numpy multiply and minima are taken with reduceat over
+    doc boundaries. The arithmetic is BIGINT-exact, so the identical
+    signature is computable in DuckDB SQL (minhash_near_dups_sql).
     """
     a, b = _hash_params(n_hashes, seed)
 
@@ -78,21 +109,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             # Collect shingle base-hashes per doc.
             all_h, doc_idx = [], []
             for i, text in enumerate(pdf[text_col]):
-                t = text or ""
-                if len(t) < shingle_k:
-                    shingles = {t} if t else set()
-                else:
-                    shingles = {t[j : j + shingle_k] for j in range(len(t) - shingle_k + 1)}
-                if not shingles:
+                hs = _shingle_hashes(text or "", shingle_k)
+                if hs.size == 0:
                     continue
-                hs = np.frombuffer(
-                    b"".join(
-                        __import__("hashlib").md5(s.encode()).digest()[:8]
-                        for s in shingles
-                    ),
-                    dtype=np.uint64,
-                )
-                all_h.append(hs % _MAX_SHINGLE_HASH)
+                all_h.append(hs)
                 doc_idx.append(np.full(hs.size, i, dtype=np.int64))
             if all_h:
                 h = np.concatenate(all_h)
@@ -120,8 +140,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         n_bands: int = 16) -> DataFrame:
-    """Band the signatures and self-join on (band, band-hash) buckets —
-    the LSH candidate generator. Returns distinct (id_a < id_b) pairs."""
+    """Band the signatures and self-join on (band, band-slice) buckets —
+    the LSH candidate generator. Returns distinct (id_a < id_b) pairs.
+
+    The join key is the band's signature slice ITSELF (array<long>
+    equality), not a hash of it: candidates are then exactly "pairs
+    agreeing on ≥1 band" — reproducible in the SQL oracle and free of
+    hash-collision false positives. At 10^12 docs the key is
+    rows_per_band longs wide per row; hashing it to 64 bits would halve
+    shuffle width at the cost of collision candidates — both shapes are
+    bucketed (|bucket|² per band-bucket), never all-pairs."""
     n = sigs.select(F.size("signature")).first()[0]
     rows_per_band = n // n_bands
     bands = sigs.select(
@@ -129,9 +157,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.slice("signature", i * rows_per_band + 1, rows_per_band)
-                    )
+                    F.slice("signature", i * rows_per_band + 1, rows_per_band)
                     for i in range(n_bands)
                 ]
             )
@@ -178,6 +204,70 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_near_dups_sql(doc_filter: str = "doc_id % 10 = 0",
+                          threshold: float = 0.7, n_hashes: int = 64,
+                          n_bands: int = 16, shingle_k: int = 5,
+                          seed: int = 42, table: str = "documents") -> str:
+    """ANSI-SQL (DuckDB) oracle for ``minhash_near_dups`` — the EXACT
+    pipeline: polynomial shingle hashes, (a*h+b) mod Mersenne minima,
+    band-equality candidates, exact token-Jaccard verify. Possible only
+    because scheme v2 keeps every intermediate < 2^63 (no wraparound) and
+    the seeded (a, b) constants are embedded as literals.
+
+    Caller must ensure the filtered docs have length(text) >= shingle_k
+    (the engine's shorter-than-k single-shingle path is not mirrored here).
+    """
+    a, b = _hash_params(n_hashes, seed)
+    h_expr = "0"
+    for i in range(shingle_k):
+        c = f"unicode(substring(text, j + {i}, 1))"
+        h_expr = f"(({h_expr}) * {_SHINGLE_BASE} + {c}) % {_MAX_SHINGLE_HASH}"
+    mins = ",\n        ".join(
+        f"min(({int(a[i])} * h + {int(b[i])}) % {_MERSENNE}) AS s{i}"
+        for i in range(n_hashes)
+    )
+    rpb = n_hashes // n_bands
+    band_eq = " OR ".join(
+        "(" + " AND ".join(
+            f"a.s{bd * rpb + j} = b.s{bd * rpb + j}" for j in range(rpb)
+        ) + ")"
+        for bd in range(n_bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text FROM {table}
+          WHERE ({doc_filter}) AND length(text) >= {shingle_k}
+        ),
+        sh AS (
+          SELECT doc_id, {h_expr} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - {shingle_k - 1}))
+                         AS j
+                FROM d)
+        ),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_distinct(regexp_extract_all(lower(text), '[^\\W_]+')) AS t
+          FROM d
+        ),
+        p AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(ta.t, tb.t)) AS inter,
+                 len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS un
+          FROM cand
+          JOIN toks ta ON ta.doc_id = id_a
+          JOIN toks tb ON tb.doc_id = id_b
+        )
+        SELECT id_a, id_b, round(inter * 1.0 / un, 6) AS jaccard
+        FROM p WHERE inter * 1.0 / un >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------
