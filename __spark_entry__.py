@@ -306,15 +306,20 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbours (no SQL oracle —
-    recall-vs-bruteforce is pytest-gated)."""
-    from escp_spark.operators import ann_lsh_topk
+    """LSH-bucketed approximate nearest neighbours over the MATERIALIZED
+    bucket layout: the bucket is a Parquet partition column, so the
+    candidate restriction is partition pruning, not per-row math. The
+    seeded planes are deterministic, so the DuckDB oracle reproduces the
+    exact candidate set and 4-decimal ranking."""
+    from escp_spark.operators import ann_lsh_topk_bucketed, ensure_embedding_buckets
 
+    bdir = ensure_embedding_buckets(spark, sf_dir, n_planes=8)
     e = _read(spark, sf_dir, "embeddings")
     probe = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ann_lsh_topk(
-        e.filter(F.col("vec_id") != 0), probe, k=10, n_planes=8, probe_hamming=4
-    ).withColumn("cos", F.round("cos", 4))
+    return ann_lsh_topk_bucketed(
+        spark, bdir, probe, k=10, n_planes=8, probe_hamming=4,
+        where=F.col("vec_id") != 0,
+    )
 
 
 def q_filtered_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,6 +540,12 @@ ORDER BY query_id, rank
 """
 
 
+def _ann_lsh_oracle_sql() -> str:
+    from escp_spark.operators.similarity import ann_lsh_sql
+
+    return ann_lsh_sql(dim=64, k=10, n_planes=8, probe_hamming=4)
+
+
 def _minhash_oracle_sql() -> str:
     from escp_spark.operators.dedup import minhash_near_dups_sql
 
@@ -725,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _SIMHASH_SQL,
         "minhash_near_dups": _minhash_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
         "langid": """
             WITH toks AS (
               SELECT doc_id,

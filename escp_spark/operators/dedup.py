@@ -364,8 +364,19 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.15) -> DataFrame:
-    """Exact token-n-gram Jaccard for pairs sharing an n-gram-count
-    bucket (cheap blocking; swap in LSH blocking at scale)."""
+    """Exact token-n-gram Jaccard pairs, candidate-blocked with the
+    PPJoin-style PREFIX FILTER — provably output-identical to the
+    all-pairs form, never a cross join.
+
+    Theorem (prefix filtering, lexicographic global order): if
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with
+    |A∩B| ≥ α must share an element within the first |X| − α + 1
+    sorted elements of each set X (pigeonhole: otherwise every shared
+    element sits among the last α − 1 of one of them). So joining the
+    per-set prefixes of length |X| − ⌈t·|X|⌉ + 1 on the gram is a
+    COMPLETE candidate generator; the exact Jaccard verify then removes
+    false positives. Work per candidate bucket is |bucket|² for that
+    gram — the hot-gram skew bound, never N²."""
     toks_expr = f"regexp_extract_all(lower({text_col}), '[^\\\\W_]+', 0)"
     grams = df.select(
         F.col(id_col),
@@ -378,9 +389,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             )
         ).alias("grams"),
     ).filter(F.size("grams") > 0)
+    plen = (
+        F.size("grams")
+        - F.ceil(F.size("grams") * F.lit(float(threshold))).cast("int")
+        + F.lit(1)
+    )
+    pref = grams.select(
+        F.col(id_col),
+        F.explode(F.slice(F.array_sort("grams"), F.lit(1), plen)).alias("gram"),
+    )
+    pa = pref.select(F.col(id_col).alias("id_a"), "gram")
+    pb = pref.select(F.col(id_col).alias("id_b"), "gram")
+    cand = (
+        pa.join(pb, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
     return (
@@ -392,10 +420,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
-                             threshold: float = 0.9) -> DataFrame:
+                             threshold: float = 0.9,
+                             mode: str = "lsh", n_bands: int = 8,
+                             band_bits: int = 2, seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup pairs — JVM higher-order functions for
-    the dot products; block with lsh_bucket_expr at scale (here the
-    all-pairs form, which the DuckDB oracle can mirror exactly)."""
+    the dot products.
+
+    mode="lsh" (default, the scale path): banded random-hyperplane
+    blocking — n_bands bands of band_bits sign bits each; candidates =
+    pairs agreeing on ≥1 full band (bucketed self-join, |bucket|² per
+    band-bucket, never N²), then exact cosine verify. Recall for a pair
+    at angle θ is 1 − (1 − p^band_bits)^n_bands with p = 1 − θ/π; the
+    defaults give ≥0.99 at cos 0.9 and ≥0.97 even at cos 0.3
+    (recall-tested vs the exact mode in tests/test_operators.py).
+
+    mode="exact": the all-pairs form — O(N²), ONLY for small-scale
+    validation; it is what the DuckDB oracle mirrors bit-for-bit."""
     withn = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -404,16 +444,45 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
                            lambda s, x: s + x)),
     )
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
     a = withn.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"),
                      F.col("norm").alias("n_a"))
     b = withn.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"),
                      F.col("norm").alias("n_b"))
-    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y),
-                      F.lit(0.0), lambda s, x: s + x)
+    if mode == "exact":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        from .similarity import _planes
+
+        dim = len(df.select(vec_col).first()[0])
+        planes = _planes(dim, n_bands * band_bits, seed)
+        vv = F.col("v")
+        band_codes = []
+        for bd in range(n_bands):
+            code = F.lit(0)
+            for j in range(band_bits):
+                p = planes[bd * band_bits + j]
+                plane_lit = F.array(*[F.lit(float(x)) for x in p])
+                pdot = F.aggregate(F.zip_with(vv, plane_lit, lambda x, y: x * y),
+                                   F.lit(0.0), lambda s, x: s + x)
+                code = code + F.when(pdot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            band_codes.append(code)
+        banded = withn.select(
+            id_col,
+            F.posexplode(F.array(*band_codes)).alias("band", "code"),
+        )
+        ba = banded.select(F.col(id_col).alias("id_a"), "band", "code")
+        bb = banded.select(F.col(id_col).alias("id_b"), "band", "code")
+        cand = (
+            ba.join(bb, ["band", "code"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
+        pairs.withColumn("cos", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

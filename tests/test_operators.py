@@ -96,7 +96,7 @@ def test_embedding_near_dups_and_oracle(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     got = sorted(
         (r.id_a, r.id_b, r.cos)
-        for r in embedding_near_dup_pairs(e, threshold=0.3).collect()
+        for r in embedding_near_dup_pairs(e, threshold=0.3, mode="exact").collect()
     )
     con = duckdb.connect()
     want = sorted(
@@ -111,6 +111,27 @@ def test_embedding_near_dups_and_oracle(spark):
         """).fetchall()
     )
     assert got == [(a, b, float(c)) for a, b, c in want]
+
+
+def test_embedding_near_dups_lsh_blocked_recall(spark):
+    """The default banded-LSH blocking must (a) never emit a pair the
+    exact form wouldn't (the cosine verify is exact, so candidates only
+    shrink the set) and (b) keep recall high even at the hard low
+    threshold 0.3 on near-uniform vectors."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dup_pairs(e, threshold=0.3, mode="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dup_pairs(e, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)
+    assert exact, "oracle produced no pairs — test is vacuous"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH blocking recall {recall}"
 
 
 def test_ann_lsh_recall(spark):
@@ -138,6 +159,45 @@ def test_ann_lsh_prunes(spark):
     bucketed = e.withColumn("b", lsh_bucket_expr("embedding", planes))
     n_buckets = bucketed.select("b").distinct().count()
     assert n_buckets > 10  # buckets actually split the space
+
+
+def test_ann_lsh_bucketed_partition_pruning(spark, tmp_path):
+    """The materialized layout must (a) return the same top-k as the
+    on-the-fly LSH path and (b) actually PRUNE: the scan's input files
+    are only the near-bucket partitions, not the whole table."""
+    from escp_spark.operators import (
+        ann_lsh_topk,
+        ann_lsh_topk_bucketed,
+        bucketize_embeddings,
+    )
+    from escp_spark.operators.similarity import _near_buckets, _planes, _probe_bucket
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    rest = e.filter(F.col("vec_id") != 0)
+    out = str(tmp_path / "embbuckets")
+    bucketize_embeddings(rest, out, n_planes=8)
+
+    flydf = ann_lsh_topk(rest, probe, k=10, n_planes=8, probe_hamming=3)
+    matdf = ann_lsh_topk_bucketed(spark, out, probe, k=10, n_planes=8,
+                                  probe_hamming=3)
+    assert [(r.vec_id, r.cos) for r in flydf.collect()] == [
+        (r.vec_id, r.cos) for r in matdf.collect()
+    ]
+
+    near = set(_near_buckets(_probe_bucket(probe, _planes(len(probe), 8)), 8, 3))
+    scanned = spark.read.parquet(out).filter(
+        F.col("bucket").isin([int(b) for b in near])
+    )
+    from escp_spark.plans.inspect import explain_str
+
+    plan = explain_str(scanned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any(
+        "bucket" in ln and (" IN " in ln or " INSET " in ln) for ln in pf
+    ), f"bucket IN filter not in PartitionFilters:\n{plan[:2000]}"
+    got_buckets = {r.bucket for r in scanned.select("bucket").distinct().collect()}
+    assert got_buckets <= near and got_buckets, got_buckets
 
 
 def test_langid(spark, docs):

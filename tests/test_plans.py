@@ -75,3 +75,20 @@ def test_relational_queries_no_python(spark):
         plan = assert_no_python_in_plan(df)
         assert "ArrowEvalPython" not in plan, f"{name} uses a UDF"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} uses a UDF"
+
+
+def test_pair_operators_never_cross_join(spark):
+    """The dedup pair generators are candidate-blocked: no CartesianProduct
+    or BroadcastNestedLoopJoin anywhere in their plans (VERDICT r01 #2/#3)."""
+    from escp_spark.operators import embedding_near_dup_pairs, ngram_jaccard_pairs
+    from escp_spark.plans import explain_str
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        ngram_jaccard_pairs(d, n=1, threshold=0.6),
+        embedding_near_dup_pairs(e, threshold=0.9),  # mode="lsh" default
+    ):
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, plan[:3000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
