@@ -102,6 +102,21 @@ def main():
         fn(spark, sf_dir).collect()
         timings[name] = time.perf_counter() - t0
 
+    # MinHash v2 signature throughput over the bench corpus (the
+    # vectorized-shingle-hash evidence; v1 per-shingle-md5 baseline in
+    # BENCH.md).
+    from pyspark.sql import functions as F
+
+    from escp_spark.operators.dedup import minhash_signatures
+
+    docs_df = (
+        spark.read.parquet(corpus_path)
+        .select(F.abs(F.xxhash64("url")).alias("doc_id"), "text")
+    )
+    t0 = time.perf_counter()
+    minhash_signatures(docs_df).count()
+    timings["minhash_sigs"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(

@@ -60,7 +60,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .analyzer import ANALYZER_VERSION, extract_text, tokenize
-from .codec import BLOCK_SIZE, CODEC_VERSION, encode_posting_frame
+from .codec import (
+    BLOCK_SIZE,
+    CODEC_VERSION,
+    decode_blocks_bulk,
+    encode_posting_frame,
+)
 from .sources.tables import (
     IndexLayout,
     input_snapshot_fingerprint,
@@ -348,8 +353,81 @@ class SimulatedFailure(RuntimeError):
 
 
 # --------------------------------------------------------------------------
-# Merge (D5 force-merge analog — metadata-level, shuffle-parallel)
+# Merge (D5 force-merge analog — esindex/optimize.go:13-28: postings get
+# CONTIGUOUS, not just concatenated)
 # --------------------------------------------------------------------------
+
+MERGED_SCHEMA = T.StructType(
+    [T.StructField("segment", T.IntegerType(), False)]
+    + [f for f in POSTINGS_SCHEMA if f.name != "bucket"]
+)
+_MERGED_COLS = [f.name for f in MERGED_SCHEMA]
+
+# Consolidated blocks get ids above every bucket<<20|id label (bucket is
+# int32): block_id is a unique label only — no reader orders by it.
+CONSOLIDATED_BLOCK_BASE = 1 << 60
+
+
+def _seg_shift(n_buckets: int, max_segments: int) -> int:
+    """Power-of-two bucket-group width giving ≤ max_segments segments.
+    Segments are then CONTIGUOUS bucket (hence docid) ranges, so
+    segment id == doc_id >> (DOC_BUCKET_SHIFT + shift) — the property
+    that lets consolidated blocks keep a valid pruning window."""
+    shift = 0
+    while ((n_buckets - 1) >> shift) + 1 > max_segments:
+        shift += 1
+    return shift
+
+
+def _consolidate_tail_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Re-block one hash-of-term group's tail fragments.
+
+    Input: every tail block (n < BLOCK_SIZE) of the terms hashing into
+    this group, across all (segment, term). For each (segment, term)
+    with ≥2 tails: bulk-decode, concatenate (already docid-sorted —
+    tails are ≤1 per source bucket and bucket docid ranges are disjoint
+    and ordered), re-encode into ⌈total/BLOCK_SIZE⌉ contiguous blocks —
+    afterwards ≤1 block per (segment, term) has n < BLOCK_SIZE.
+    Single-tail groups pass through untouched (already consolidated).
+
+    Bounded regardless of corpus size: a term has ≤1 tail per bucket, so
+    this group holds ≤ n_buckets × (BLOCK_SIZE−1) postings per term."""
+    pdf = pdf.sort_values(
+        ["segment", "term", "doc_id_lo"], kind="mergesort"
+    ).reset_index(drop=True)
+    key = pd.Series(list(zip(pdf["segment"], pdf["term"])), index=pdf.index)
+    sizes = key.map(key.value_counts())
+    singles = pdf.loc[sizes == 1, _MERGED_COLS]
+    multi = pdf.loc[sizes > 1].reset_index(drop=True)
+    if multi.empty:
+        return singles
+    ids, tfs, dls, blk = decode_blocks_bulk(
+        list(multi["doc_ids"]), list(multi["tfs"]), list(multi["dls"]),
+        multi["n"].to_numpy(),
+    )
+    codes, uniq = pd.factorize(
+        pd.Series(list(zip(multi["segment"], multi["term"])))
+    )  # sorted input → codes nondecreasing; ids within a code are sorted
+    enc = encode_posting_frame(codes[blk], ids, tfs, dls)
+    seg_term = uniq[enc["term_code"]]
+    reblocked = pd.DataFrame(
+        {
+            "segment": [int(s) for s, _ in seg_term],
+            "term": [t for _, t in seg_term],
+            "block_id": CONSOLIDATED_BLOCK_BASE + enc["block_id"],
+            "n": enc["n"],
+            "doc_id_lo": enc["doc_id_lo"],
+            "doc_id_hi": enc["doc_id_hi"],
+            "max_tf": enc["max_tf"],
+            "min_dl": enc["min_dl"],
+            "sum_tf": enc["sum_tf"],
+            "doc_ids": enc["doc_ids"],
+            "tfs": enc["tfs"],
+            "dls": enc["dls"],
+        }
+    )
+    return pd.concat([singles, reblocked[_MERGED_COLS]], ignore_index=True)
+
 
 def merge_segments(
     spark: SparkSession,
@@ -358,42 +436,79 @@ def merge_segments(
     max_segments: int,
     merge_parallelism: int,
     physical: str = "narrow",
-) -> None:
+    consolidate: bool = True,
+) -> int:
     """Merge level-0 (per-bucket) segments down to ≤ max_segments.
+    Returns the index's ``prune_shift`` (the docid window granularity the
+    serving path must use — recorded in the manifest).
 
-    Because per-bucket docid ranges are disjoint and ordered, a term's
-    global posting list is the concatenation of its per-bucket blocks in
-    bucket order — no decode/re-encode, no per-term memory blowup (the
-    hottest term's blocks stay distributed across merge tasks). Block ids
-    are rewritten to bucket<<20|block_id to stay unique and ordered within
-    (segment, term). Tail blocks (<128 docs, ≤1 per bucket×term) are left
-    unconsolidated — a compaction pass may later re-block them.
+    Two phases, mirroring Lucene's merge-then-compact:
 
-    physical="narrow" (default): no shuffle — each input partition sorts
-    itself by (segment, term, docid) and writes into the per-segment dirs;
-    every output file is term-sorted so Parquet row-group stats give
-    dictionary-seek pruning. Parallelism = input partition count, so the
-    hottest term never concentrates in one task.
+    1. **Concatenation (narrow)**: per-bucket docid ranges are disjoint
+       and ordered, so a term's global posting list is its per-bucket
+       blocks in bucket order — full blocks (n == BLOCK_SIZE) move
+       without decode/re-encode and the hottest term's blocks stay
+       distributed across merge tasks. Segment = bucket >> seg_shift
+       (contiguous power-of-two bucket ranges, ≤ max_segments of them).
+    2. **Tail consolidation** (the esindex/optimize.go:13-28 semantic,
+       SURVEY.md §7 "hard part #1"): every (bucket × term) level-0 list
+       ends in a tail block < BLOCK_SIZE — up to n_buckets fragments per
+       term: read amplification and loose block-max bounds at serve
+       time. Tails shuffle by hash(term) (bounded: ≤ n_buckets×127
+       postings per term) and are re-encoded per (segment, term) into
+       contiguous blocks, leaving ≤1 short block per (segment, term).
+
+    Window correctness: a consolidated block spans buckets, so the WAND
+    pruning window coarsens from bucket to segment — a segment is a
+    complete, contiguous docid range (window id = doc_id >> prune_shift),
+    so the serving path's exact-θ invariant is preserved at prune_shift =
+    DOC_BUCKET_SHIFT + seg_shift. With consolidate=False (streaming
+    finalize, where modulo segment placement breaks contiguity) every
+    block stays inside one bucket and prune_shift stays DOC_BUCKET_SHIFT.
+
+    physical="narrow" (default): no shuffle for the full-block lane —
+    each input partition sorts itself by (segment, term, docid) and
+    writes into the per-segment dirs; every output file is term-sorted so
+    Parquet row-group stats give dictionary-seek pruning.
     physical="range": adds a repartitionByRange clustering pass (global
     term ranges per file — fewer files touched per query at the cost of a
     sampling job + full shuffle). The right choice at 10^12-doc scale
     where file-count per segment matters; overkill at bench scale.
     """
+    seg_shift = _seg_shift(n_buckets, max_segments)
     l0 = spark.read.parquet(layout.postings_l0)
-    seg = (F.col("bucket") * max_segments / n_buckets).cast("int")
-    merged = l0.withColumn("segment", seg).withColumn(
-        "block_id",
-        (F.col("bucket").cast("long") * F.lit(1 << MERGE_BLOCK_SHIFT))
-        + F.col("block_id"),
+    base = (
+        l0.withColumn(
+            "segment", F.shiftright(F.col("bucket"), seg_shift).cast("int")
+        )
+        .withColumn(
+            "block_id",
+            (F.col("bucket").cast("long") * F.lit(1 << MERGE_BLOCK_SHIFT))
+            + F.col("block_id"),
+        )
+        .drop("bucket", "group")
     )
+    if consolidate:
+        full = base.filter(F.col("n") == BLOCK_SIZE).select(*_MERGED_COLS)
+        tails = base.filter(F.col("n") < BLOCK_SIZE)
+        n_tgrp = max(merge_parallelism * 2, 8)
+        consolidated = (
+            tails.withColumn(
+                "tgrp", F.pmod(F.xxhash64("term"), F.lit(n_tgrp))
+            )
+            .groupBy("tgrp")
+            .applyInPandas(_consolidate_tail_group, MERGED_SCHEMA)
+        )
+        merged = full.unionByName(consolidated)
+    else:
+        merged = base.select(*_MERGED_COLS)
     if physical == "range":
         merged = merged.repartitionByRange(
             merge_parallelism, "segment", "term", "doc_id_lo"
         )
-    merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo").drop(
-        "bucket", "group"
-    )
+    merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo")
     merged.write.mode("overwrite").partitionBy("segment").parquet(layout.postings)
+    return DOC_BUCKET_SHIFT + (seg_shift if consolidate else 0)
 
 
 # --------------------------------------------------------------------------
@@ -411,25 +526,43 @@ def build_index(
     merge_parallelism: int | None = None,
     fail_after_groups: int | None = None,
     pages: DataFrame | None = None,
+    source_filter: str | None = None,
 ) -> dict:
     """Run (or resume) a full index build. Returns the published manifest.
 
     Parameters mirror escp's CLI: n_buckets ≅ --shards (D2), max_segments ≅
     --maxsegs (D5), n_groups = checkpoint granularity (the scroll-page
-    analog of resumable units, esscroll.go:129).
+    analog of resumable units, esscroll.go:129), source_filter = a SQL
+    predicate pushed into the corpus scan (the escopyjob.go:37 query
+    filter POSTed at esscroll.go:79-90 — index only the matching docs
+    without pre-materializing a filtered corpus).
     """
+    import hashlib
+
     layout = IndexLayout(index_dir, build_id)
     layout.ensure_dirs()
     snapshot = input_snapshot_fingerprint(source)
+    # Resume units are only interchangeable between runs with identical
+    # bucketing/grouping/filtering — key the ledger on input AND params
+    # so a re-run with different n_buckets/n_groups/filter rebuilds
+    # instead of silently mixing layouts.
+    params = f"nb={n_buckets}|ng={n_groups}|flt={source_filter or ''}"
+    resume_key = (
+        snapshot + "|" + hashlib.md5(params.encode()).hexdigest()[:12]
+    )
     merge_parallelism = merge_parallelism or spark.sparkContext.defaultParallelism
 
     extracted_dir = os.path.join(layout.staging, "extracted")
 
     # ---- Stage "extract": one wide pass — dedup shuffle + extraction +
     # bucketing, materialized once, partitioned by checkpoint group.
-    if not committed_groups(spark, layout, "extract", snapshot):
+    if not committed_groups(spark, layout, "extract", resume_key):
         if pages is None:
             pages = read_web_pages(spark, source)
+        if source_filter:
+            # Catalyst pushes this predicate into the Parquet/Iceberg
+            # scan (plan-asserted in tests/test_plans.py).
+            pages = pages.filter(F.expr(source_filter))
         corpus = prepared_corpus(pages, n_buckets).withColumn(
             "grp", (F.col("bucket") % n_groups)
         )
@@ -455,7 +588,7 @@ def build_index(
                     "segment_path": os.path.join(extracted_dir, f"grp={g}"),
                     "docs": int(docs),
                     "bytes": _dir_bytes(os.path.join(extracted_dir, f"grp={g}")),
-                    "input_snapshot": snapshot,
+                    "input_snapshot": resume_key,
                 }
                 for g, docs in grp_counts.items()
             ],
@@ -466,7 +599,7 @@ def build_index(
         m = (
             (pdf["build_id"] == build_id)
             & (pdf["stage"] == "extract")
-            & (pdf["input_snapshot"] == snapshot)
+            & (pdf["input_snapshot"] == resume_key)
         )
         grp_counts = dict(
             zip(pdf.loc[m, "partition_id"].astype(int), pdf.loc[m, "docs"].astype(int))
@@ -475,7 +608,7 @@ def build_index(
 
     # ---- Stage "segment": per-group docmap + level-0 segment build,
     # idempotent group-scoped writes, ledger commit per group.
-    done = committed_groups(spark, layout, "segment", snapshot)
+    done = committed_groups(spark, layout, "segment", resume_key)
     groups_run = 0
     for g in range(n_groups):
         if g in done:
@@ -505,7 +638,7 @@ def build_index(
                     "segment_path": seg_path,
                     "docs": docs_g,
                     "bytes": bytes_g,
-                    "input_snapshot": snapshot,
+                    "input_snapshot": resume_key,
                 }
             ],
         )
@@ -516,7 +649,9 @@ def build_index(
 
     # ---- Finalize (idempotent overwrites): merge, dictionary, stats,
     # atomic manifest publish (D3/B11).
-    merge_segments(spark, layout, n_buckets, max_segments, merge_parallelism)
+    prune_shift = merge_segments(
+        spark, layout, n_buckets, max_segments, merge_parallelism
+    )
 
     postings = spark.read.parquet(layout.postings)
     (
@@ -544,6 +679,11 @@ def build_index(
             "codec_version": CODEC_VERSION,
             "analyzer_version": ANALYZER_VERSION,
             "input_snapshot": snapshot,
+            "source_filter": source_filter,
+            # Consolidated tail blocks span up to 2^(shift-40) buckets
+            # (always within one segment); the serving path handles them
+            # as spanning blocks (query._prune_and_score step 0).
+            "consolidation_shift": prune_shift,
         },
     )
     log.info("published index: %d docs, avgdl=%.2f", n_docs, avgdl)

@@ -102,27 +102,40 @@ def _aggregate(doc_ids: np.ndarray, contribs: np.ndarray):
 
 
 def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
-                     idf: dict[str, float], avgdl: float, k: int):
-    """Block-max pruned scoring for ONE query — bucket-at-a-time WAND.
+                     idf: dict[str, float], avgdl: float, k: int,
+                     window_shift: int = 40):
+    """Block-max pruned scoring for ONE query — window-at-a-time WAND.
 
-    Key structural fact: docids are bucket<<40|rank, so every doc's
-    postings live entirely inside one bucket — a bucket is a complete,
-    independent docid window. The algorithm is therefore the block-max
-    WAND loop at bucket granularity, fully vectorized inside each step:
+    Windows are buckets (docid = bucket<<40|rank, so docid>>40 is the
+    bucket and every doc's postings live inside one window). Level-0 and
+    streamed blocks are window-CONTAINED; the merge's tail consolidation
+    (build.merge_segments) produces a few SPANNING blocks whose doc
+    range crosses buckets. The algorithm handles both exactly:
 
-    1. For each bucket w: envelope(w) = Σ_terms max ub of that term's
-       blocks in w — a true upper bound on any single doc score in w.
-    2. Visit buckets in descending envelope order, maintaining θ = kth
-       best *exact* score collected so far (scores within a visited
-       bucket are complete, so θ is exact and only rises).
-    3. Skip a whole bucket when envelope(w) < θ. Inside a kept bucket,
-       additionally skip block b of term t when
-       ub(b) + Σ_{t'≠t} max_ub_in_bucket(t') < θ.
+    0. Spanning blocks (typically the consolidated tails — small) are
+       bulk-decoded UP FRONT. Their raw postings give exact per-(window,
+       term) maxima sp_max(w, t); their per-doc partials are aggregated
+       and sliced per window (docids are sorted).
+    1. A (term, doc) posting lives in exactly ONE block — contained or
+       spanning — so env(w, t) = max(contained_ub_max(w, t), sp_max(w, t))
+       and envelope(w) = Σ_t env(w, t) is a true upper bound on any
+       single doc score in w (no double counting).
+    2. Visit windows in descending envelope order, maintaining θ = kth
+       best collected score (only rises).
+    3. Skip a whole window when envelope(w) < θ. Inside a kept window,
+       additionally skip contained block b of term t when
+       ub(b) + (envelope(w) − env(w, t)) < θ. Scoring a kept window
+       merges its decoded contained blocks with its slice of the
+       spanning partials, so every emitted doc's score includes all of
+       its covering blocks that were not provably-below-θ.
 
-    Rank-identity proof: a skipped bucket/block only hides docs whose
-    total score is STRICTLY below θ ≤ (final kth best), so they cannot
-    enter the top-k; any doc with final score ≥ θ has every covering
-    block's envelope ≥ its own score ≥ θ, hence is scored exactly.
+    Rank-identity proof: a skipped window/block only hides (or
+    understates) docs whose TOTAL score is strictly below θ ≤ (final kth
+    best), so they cannot enter the top-k; understated scores are ≤ the
+    true score and the true score is < θ, so they can never displace a
+    true top-k doc, and θ (a max over collected scores' kth) stays a
+    valid lower bound of the true kth score. Any doc with final score
+    ≥ θ has every covering block kept, hence is scored exactly.
     """
     global last_prune_stats
     weights = {t: term_weights[t] * idf[t] for t in term_weights if t in idf}
@@ -136,16 +149,16 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
     )
     term_codes, term_uniq = pd.factorize(blocks["term"], sort=True)
     n_terms = len(term_uniq)
-    bucket = (
-        blocks["doc_id_lo"].to_numpy(dtype=np.int64) >> 40
-    )
+    lo_w = blocks["doc_id_lo"].to_numpy(dtype=np.int64) >> window_shift
+    hi_w = blocks["doc_id_hi"].to_numpy(dtype=np.int64) >> window_shift
+    spanning = lo_w != hi_w
 
     id_bufs = blocks["doc_ids"].to_numpy()
     tf_bufs = blocks["tfs"].to_numpy()
     dl_bufs = blocks["dls"].to_numpy()
     ns = blocks["n"].to_numpy()
 
-    def score_rows(idx: np.ndarray):
+    def decode_rows(idx: np.ndarray):
         if idx.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0)
         ids, tfs, dls, blk = decode_blocks_bulk(
@@ -154,13 +167,50 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
         contribs = bm25_contrib(tfs, dls, avgdl, w_arr[idx][blk])
         return _aggregate(ids, contribs)
 
-    # Per-(bucket, term) max ub  →  per-bucket envelope.
-    buckets_uniq, bucket_code = np.unique(bucket, return_inverse=True)
-    key = bucket_code * n_terms + term_codes
-    per_bt_max = np.zeros(buckets_uniq.size * n_terms)
-    np.maximum.at(per_bt_max, key, ub)
-    per_bt_max = per_bt_max.reshape(buckets_uniq.size, n_terms)
-    bucket_env = per_bt_max.sum(axis=1)
+    # ---- Spanning blocks: decode once (raw postings for per-(window,
+    # term) maxima, then per-doc aggregation for the scoring merge).
+    sp_idx = np.flatnonzero(spanning)
+    if sp_idx.size:
+        sp_raw_ids, sp_raw_tfs, sp_raw_dls, sp_blk = decode_blocks_bulk(
+            list(id_bufs[sp_idx]), list(tf_bufs[sp_idx]),
+            list(dl_bufs[sp_idx]), ns[sp_idx],
+        )
+        sp_raw_contribs = bm25_contrib(
+            sp_raw_tfs, sp_raw_dls, avgdl, w_arr[sp_idx][sp_blk]
+        )
+        sp_raw_w = sp_raw_ids.astype(np.int64) >> window_shift
+        sp_raw_t = term_codes[sp_idx][sp_blk]
+        sp_ids, sp_contribs = _aggregate(sp_raw_ids, sp_raw_contribs)
+    else:
+        sp_raw_w = np.empty(0, dtype=np.int64)
+        sp_ids = np.empty(0, dtype=np.uint64)
+        sp_contribs = np.empty(0)
+    sp_w = (sp_ids.astype(np.int64) >> window_shift)
+
+    # ---- Windows = union of contained-block windows and spanning-doc
+    # windows (a window that only spanning docs touch must still be
+    # visitable, or those docs would be silently dropped).
+    co_idx = np.flatnonzero(~spanning)
+    buckets_uniq = np.unique(np.concatenate([lo_w[co_idx], sp_w]))
+    bucket_code_co = np.searchsorted(buckets_uniq, lo_w[co_idx])
+    sp_code = np.searchsorted(buckets_uniq, sp_w)
+    n_w = buckets_uniq.size
+
+    per_bt_env = np.zeros(n_w * n_terms)
+    np.maximum.at(
+        per_bt_env, bucket_code_co * n_terms + term_codes[co_idx], ub[co_idx]
+    )
+    if sp_idx.size:
+        np.maximum.at(
+            per_bt_env,
+            np.searchsorted(buckets_uniq, sp_raw_w) * n_terms + sp_raw_t,
+            sp_raw_contribs,
+        )
+    per_bt_env = per_bt_env.reshape(n_w, n_terms)
+    bucket_env = per_bt_env.sum(axis=1)
+    # Spanning docs are sorted by docid (per-window aggregation below
+    # slices this by searchsorted on the window code).
+    sp_starts = np.searchsorted(sp_code, np.arange(n_w + 1))
 
     visit_order = np.argsort(bucket_env)[::-1]
     theta = -np.inf
@@ -168,16 +218,25 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
     total_collected = 0
     pruned = 0
     for bc in visit_order:
+        in_window = np.flatnonzero(bucket_code_co == bc)
         if total_collected >= k and bucket_env[bc] < theta:
-            pruned += int(np.count_nonzero(bucket_code == bc))
+            pruned += int(in_window.size)
             continue
-        sel = np.flatnonzero(bucket_code == bc)
-        if total_collected >= k:
-            blk_env = ub[sel] + (bucket_env[bc] - per_bt_max[bc, term_codes[sel]])
+        sel = co_idx[in_window]
+        if total_collected >= k and sel.size:
+            blk_env = ub[sel] + (
+                bucket_env[bc] - per_bt_env[bc, term_codes[sel]]
+            )
             keep_mask = blk_env >= theta
             pruned += int(np.count_nonzero(~keep_mask))
             sel = sel[keep_mask]
-        ids, scores = score_rows(sel)
+        ids, scores = decode_rows(sel)
+        s, e = sp_starts[bc], sp_starts[bc + 1]
+        if e > s:
+            ids, scores = _aggregate(
+                np.concatenate([ids, sp_ids[s:e]]),
+                np.concatenate([scores, sp_contribs[s:e]]),
+            )
         if ids.size:
             all_ids.append(ids)
             all_scores.append(scores)
@@ -188,14 +247,15 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
 
     last_prune_stats = {
         "total_blocks": int(len(blocks)),
+        "spanning_blocks": int(sp_idx.size),
         "kept_blocks": int(len(blocks) - pruned),
         "pruned_blocks": int(pruned),
         "theta": float(theta),
-        "n_buckets": int(buckets_uniq.size),
+        "n_buckets": int(n_w),
     }
     if not all_ids:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-    # Buckets are disjoint docid spaces — concatenation needs no re-agg.
+    # Windows are disjoint docid spaces — concatenation needs no re-agg.
     return np.concatenate(all_ids), np.concatenate(all_scores)
 
 

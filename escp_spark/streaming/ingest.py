@@ -161,5 +161,9 @@ def finalize_streamed_index(spark: SparkSession, index_dir: str,
             "codec_version": 1,
             "analyzer_version": "escp-spark-analyzer-1",
             "input_snapshot": "streaming",
+            # Modulo segment placement (open-ended epoch buckets) is not
+            # docid-contiguous, so tails stay unconsolidated and every
+            # block remains inside one effective bucket.
+            "consolidation_shift": DOC_BUCKET_SHIFT,
         },
     )

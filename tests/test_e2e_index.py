@@ -128,3 +128,35 @@ def test_spark_batch_path_small_k_bounded_topk(spark, built_index):
         for r in search_topk(index_dir, qs)
     }
     assert got == exp and got
+
+
+def test_merge_consolidates_tail_blocks(spark, built_index):
+    """D5/B9 (esindex optimize 'contiguous postings'): after the merge,
+    each (segment, term) carries at most ONE block shorter than
+    BLOCK_SIZE, and the manifest advertises the coarsened pruning
+    window that keeps WAND exact over consolidated blocks."""
+    from pyspark.sql import functions as F
+
+    from escp_spark.codec import BLOCK_SIZE
+    from escp_spark.sources.tables import load_manifest
+
+    index_dir, manifest = built_index
+    assert manifest["consolidation_shift"] > 40, manifest
+    paths = load_manifest(index_dir)["paths"]
+    p = spark.read.parquet(paths["postings"])
+    frag = (
+        p.filter(F.col("n") < BLOCK_SIZE)
+        .groupBy("segment", "term")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert frag == 0, f"{frag} (segment, term) groups still fragmented"
+    # Consolidation containment: every block's [doc_id_lo, doc_id_hi]
+    # stays inside one segment-wide window (spanning blocks never cross
+    # segments).
+    s = manifest["consolidation_shift"]
+    bad = p.filter(
+        F.shiftright(F.col("doc_id_lo"), s) != F.shiftright(F.col("doc_id_hi"), s)
+    ).count()
+    assert bad == 0

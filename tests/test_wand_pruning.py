@@ -63,14 +63,26 @@ def test_pruned_rank_identical_many_queries(big_index, big_oracle):
 
 def test_pruning_actually_fires(big_index):
     """Hot+rare is where block-max WAND wins: the rare term's idf drives θ
-    above any hot-only contribution, so buckets/blocks that cannot reach
-    θ get skipped — the pruning must actually fire, not just exist."""
+    above any hot-only contribution, so the hot term's blocks in windows
+    without rare docs cannot reach θ and get skipped — the pruning must
+    actually fire, not just exist. The rare term is picked from the
+    DICTIONARY (df 3-20) so the query really is hot+rare on this corpus;
+    its consolidated tails also exercise the spanning-block path."""
+    import pyarrow.dataset as pads
+
     _, idx = big_index
     reader = IndexReader(idx)
-    search_topk(idx, [{"query_id": 0, "query_text": "t00000 t09000", "k": 3}],
-                reader=reader)
+    d = pads.dataset(
+        reader.manifest["paths"]["dictionary"], format="parquet"
+    ).to_table().to_pandas()
+    rare = d[(d.df >= 3) & (d.df <= 20)].sort_values("term").iloc[0].term
+    search_topk(
+        idx, [{"query_id": 0, "query_text": f"t00000 {rare}", "k": 3}],
+        reader=reader,
+    )
     st = Q.last_prune_stats
     assert st["total_blocks"] > 20, st
+    assert st["spanning_blocks"] > 0, f"consolidation not exercised: {st}"
     assert st["pruned_blocks"] > 0, f"no pruning happened: {st}"
     assert st["kept_blocks"] + st["pruned_blocks"] == st["total_blocks"]
 
