@@ -1,13 +1,19 @@
 """Command-line surface — the cmd/{escp,esdiff,estail} analogs.
 
     python -m escp_spark.cli build    SOURCE INDEX_DIR [--buckets N]
-        [--maxsegs N] [--groups N] [--build-id ID]
+        [--maxsegs N] [--groups N] [--build-id ID] [--filter SQL]
         ≅ escp (cmd/escp/main.go:17-135): full resumable index build;
-        --buckets ≅ --shards (D2), --maxsegs ≅ forcemerge target (D5).
+        --buckets ≅ --shards (D2), --maxsegs ≅ forcemerge target (D5),
+        --filter ≅ the scroll query filter (escopyjob.go:37) — a SQL
+        predicate pushed into the corpus scan.
 
     python -m escp_spark.cli validate SOURCE INDEX_DIR [-d DENOM]
         ≅ esdiff (cmd/esdiff/main.go:16-84): count precheck + sampled
         byte-identity diff; exits 1 on mismatch (main.go:77-78 analog).
+
+    python -m escp_spark.cli diff     INDEX_A INDEX_B --queries Q...
+        [-k K] index-vs-index rank/score diff over a query set (the
+        esdiff two-live-indexes mode); exits 1 on rank/score drift.
 
     python -m escp_spark.cli search   INDEX_DIR QUERY [-k K] [--spark]
         BM25 top-k — serving path by default, --spark for the
@@ -37,6 +43,14 @@ def main(argv=None):
     b.add_argument("--maxsegs", type=int, default=5)
     b.add_argument("--groups", type=int, default=4)
     b.add_argument("--build-id", default="build0")
+    b.add_argument("--filter", default=None,
+                   help="SQL predicate pushed into the corpus scan")
+
+    di = sub.add_parser("diff")
+    di.add_argument("index_a")
+    di.add_argument("index_b")
+    di.add_argument("--queries", nargs="+", required=True)
+    di.add_argument("-k", type=int, default=10)
 
     v = sub.add_parser("validate")
     v.add_argument("source")
@@ -57,6 +71,18 @@ def main(argv=None):
     t.add_argument("--limit", type=int, default=100)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "diff":
+        # Serving path on both indexes — no SparkSession needed.
+        from .validate import diff_indexes
+
+        qs = [
+            {"query_id": i, "query_text": q, "k": args.k}
+            for i, q in enumerate(args.queries)
+        ]
+        res = diff_indexes(args.index_a, args.index_b, qs)
+        print(json.dumps(res))
+        return 1 if res["drifted"] else 0
 
     if args.cmd == "search" and not args.spark:
         # Serving path needs no SparkSession at all.
@@ -81,6 +107,7 @@ def main(argv=None):
                 spark, args.source, args.index_dir,
                 n_buckets=args.buckets, max_segments=args.maxsegs,
                 n_groups=args.groups, build_id=args.build_id,
+                source_filter=args.filter,
             )
             print(json.dumps(manifest))
             return 0

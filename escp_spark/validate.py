@@ -55,6 +55,52 @@ class ValidationResult:
         )
 
 
+def diff_indexes(index_a: str, index_b: str, queries: list[dict],
+                 score_tol: float = 1e-9) -> dict:
+    """Index-vs-index diff (cmd/esdiff/main.go:16-84 as an operational
+    JOB, not just a test): run the serving path over both PUBLISHED
+    indexes and compare rank-by-rank — the V6 rank/score-identity
+    machinery applied to two live indexes (e.g. old vs rebuilt).
+
+    A query drifts when its ranked url sequence differs, its result
+    count differs, or any score moves by more than ``score_tol``.
+    Returns {"queries", "drifted", "details"}; drifted == 0 means the
+    indexes serve identically on this query set. Driver-sized: only the
+    top-k rows of both indexes are compared (no Spark job needed — the
+    serving path reads row-group-pruned postings directly)."""
+    from .query import search_topk
+
+    def by_query(rows):
+        out: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(r["query_id"], []).append(
+                (r["doc_url"], r["score"])
+            )
+        return out
+
+    a = by_query(search_topk(index_a, queries))
+    b = by_query(search_topk(index_b, queries))
+    details = []
+    for q in queries:
+        qa = a.get(q["query_id"], [])
+        qb = b.get(q["query_id"], [])
+        drifted = len(qa) != len(qb) or any(
+            ua != ub or abs(sa - sb) > score_tol
+            for (ua, sa), (ub, sb) in zip(qa, qb)
+        )
+        if drifted:
+            details.append(
+                {
+                    "query_id": q["query_id"],
+                    "query_text": q["query_text"],
+                    "a": qa[:5],
+                    "b": qb[:5],
+                }
+            )
+    return {"queries": len(queries), "drifted": len(details),
+            "details": details}
+
+
 def validate_index(
     spark: SparkSession,
     source: str,

@@ -92,3 +92,13 @@ def test_pair_operators_never_cross_join(spark):
         plan = explain_str(df)
         assert "CartesianProduct" not in plan, plan[:3000]
         assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_build_source_filter_pushed_down(spark, tiny_corpus):
+    """--filter must reach the Parquet scan of the build's one wide pass
+    (predicate BELOW the dedup aggregate → PushedFilters)."""
+    from escp_spark.build import prepared_corpus
+    from escp_spark.sources.tables import read_web_pages
+
+    pages = read_web_pages(spark, tiny_corpus).filter(F.expr("lang = 'en'"))
+    assert_pushed_filters(prepared_corpus(pages, 8), "EqualTo(lang,en)")

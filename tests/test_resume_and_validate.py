@@ -136,3 +136,85 @@ def test_validate_detects_count_mismatch(spark, tiny_corpus, built_index, tmp_pa
     pq.write_table(doctored, p)
     with pytest.raises(ValidationError, match="count mismatch"):
         validate_index(spark, p, index_dir, sample_denom=1)
+
+
+def test_build_source_filter(spark, tiny_corpus, tmp_path):
+    """escopyjob.go:37 analog: --filter indexes only matching raw rows
+    (applied at the scan, before LWW dedup — the scroll-query order)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idx_en")
+    m = build_index(
+        spark, tiny_corpus, d, n_buckets=8, max_segments=3, n_groups=2,
+        source_filter="lang = 'en'",
+    )
+    t = pq.read_table(tiny_corpus).to_pandas()
+    t = t[t["lang"] == "en"]
+    t["tie"] = t["html"].map(lambda h: hashlib.md5(h).hexdigest())
+    t = t.sort_values(["url", "warc_ts", "tie"], ascending=[True, False, False])
+    expected = t.drop_duplicates("url", keep="first")
+    assert m["n_docs"] == len(expected)
+    assert m["source_filter"] == "lang = 'en'"
+
+
+def test_resume_key_includes_params(spark, tiny_corpus, tmp_path):
+    """A rerun with different n_buckets must NOT reuse stages committed
+    under the old bucketing (ADVICE r01): the ledger key includes a
+    params hash, so the second build re-executes and publishes a
+    consistent layout."""
+    d = str(tmp_path / "idx_params")
+    build_index(spark, tiny_corpus, d, n_buckets=8, max_segments=3, n_groups=2)
+    m2 = build_index(
+        spark, tiny_corpus, d, n_buckets=4, max_segments=3, n_groups=2
+    )
+    assert m2["n_buckets"] == 4
+    layout = IndexLayout(d, "build0")
+    buckets = {
+        r.b
+        for r in spark.read.parquet(layout.docmap)
+        .select((F.col("doc_id") / F.lit(1 << 40)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert buckets <= set(range(4)), buckets  # layout matches n_buckets=4
+    validate_index(spark, tiny_corpus, d, sample_denom=1)
+
+
+def test_diff_indexes_job(spark, built_index, tiny_corpus, tmp_path):
+    """esdiff main.go:16-84 as a job: identical indexes diff clean; an
+    index built over a perturbed corpus drifts and the CLI exits 1."""
+    import pyarrow.parquet as pq
+
+    from escp_spark.cli import main as cli_main
+    from escp_spark.corpus import reference_queries
+    from escp_spark.validate import diff_indexes
+
+    index_dir, _ = built_index
+    qs = reference_queries()[:5]
+    clean = diff_indexes(index_dir, index_dir, qs)
+    assert clean["drifted"] == 0
+
+    # Perturb: drop 5% of pages and rebuild — scores/ranks must drift.
+    t = pq.read_table(tiny_corpus).to_pandas()
+    pert_src = str(tmp_path / "pert.parquet")
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(t.iloc[: int(len(t) * 0.95)]), pert_src)
+    pert_idx = str(tmp_path / "pert_idx")
+    build_index(spark, pert_src, pert_idx, n_buckets=8, max_segments=3,
+                n_groups=1)
+    res = diff_indexes(index_dir, pert_idx, qs)
+    assert res["drifted"] > 0
+
+    rc = cli_main(
+        ["diff", index_dir, pert_idx, "--queries"]
+        + [q["query_text"] for q in qs]
+    )
+    assert rc == 1
+    rc = cli_main(
+        ["diff", index_dir, index_dir, "--queries"]
+        + [q["query_text"] for q in qs]
+    )
+    assert rc == 0
