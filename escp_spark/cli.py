@@ -68,6 +68,11 @@ def main(argv=None):
     t.add_argument("--since", default="2h")
     t.add_argument("--terms", nargs="*", default=[])
     t.add_argument("--not-terms", nargs="*", default=[])
+    t.add_argument("--fields", nargs="*", default=[],
+                   help="field:value[,field:value...] terms filters "
+                        "(estail.go:109-130)")
+    t.add_argument("--not-fields", nargs="*", default=[],
+                   help="field:value pairs that must NOT match")
     t.add_argument("--limit", type=int, default=100)
 
     args = p.parse_args(argv)
@@ -96,8 +101,13 @@ def main(argv=None):
             print(json.dumps(r))
         return 0
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # get_spark is getOrCreate: only stop the session if WE created it
+    # (a host process — tests, a notebook — keeps its own session).
+    preexisting = SparkSession.getActiveSession()
     spark = get_spark(f"escp_spark_{args.cmd}", master=args.master)
     try:
         if args.cmd == "build":
@@ -152,6 +162,24 @@ def main(argv=None):
                 out = out.filter(F.col("text").contains(term))
             for term in args.not_terms:   # must not (estail.go:67-72)
                 out = out.filter(~F.col("text").contains(term))
+
+            def _field_terms(pairs):
+                # "field:v1,field2:v2" → {field: [v1, ...]} (estail.go:109-130)
+                by_field: dict[str, list[str]] = {}
+                for spec in pairs:
+                    for item in spec.split(","):
+                        field, _, value = item.partition(":")
+                        if not _ or not field:
+                            raise SystemExit(
+                                f"bad --fields entry {item!r} (want field:value)"
+                            )
+                        by_field.setdefault(field, []).append(value)
+                return by_field
+
+            for field, values in _field_terms(args.fields).items():
+                out = out.filter(F.col(field).isin(values))   # OR within field
+            for field, values in _field_terms(args.not_fields).items():
+                out = out.filter(~F.col(field).isin(values))
             rows = (
                 out.select("url", "warc_ts", "lang",
                            F.substring("text", 1, 120).alias("text_head"))
@@ -163,7 +191,8 @@ def main(argv=None):
                 print(json.dumps({**r.asDict(), "warc_ts": str(r.warc_ts)}))
             return 0
     finally:
-        spark.stop()
+        if preexisting is None:
+            spark.stop()
     return 2
 
 

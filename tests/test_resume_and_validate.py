@@ -218,3 +218,24 @@ def test_diff_indexes_job(spark, built_index, tiny_corpus, tmp_path):
         + [q["query_text"] for q in qs]
     )
     assert rc == 0
+
+
+def test_cli_tail_field_value_filters(spark, tiny_corpus, capsys):
+    """estail field:value parsing (estail.go:109-130): --fields lang:de
+    keeps only matching rows; --not-fields excludes; values within one
+    field OR together."""
+    import json
+
+    from escp_spark.cli import main as cli_main
+
+    rc = cli_main(["tail", tiny_corpus, "--since", "999d",
+                   "--fields", "lang:de,lang:fr", "--limit", "500"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["lang"] in ("de", "fr") for r in rows)
+
+    rc = cli_main(["tail", tiny_corpus, "--since", "999d",
+                   "--not-fields", "lang:en", "--limit", "500"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["lang"] != "en" for r in rows)
