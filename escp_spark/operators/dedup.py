@@ -42,6 +42,12 @@ _MERSENNE = (1 << 61) - 1
 _MAX_SHINGLE_HASH = 1 << 32
 _SHINGLE_BASE = 65599
 MINHASH_SCHEME_VERSION = 2
+# Cap on the permute-matrix working set (elements): 256k × 8 B = 2 MB —
+# small enough to stay cache-resident, so the six vector passes per chunk
+# (mul, add, shift, and, add, fold) run at compute speed instead of
+# memory-bandwidth speed (measured 5.4× on this host), and per-worker
+# memory is O(1) in the Arrow batch size.
+_PERMUTE_CHUNK_ELEMS = 256 * 1024
 
 
 def _hash_params(n_hashes: int, seed: int = 42):
@@ -67,10 +73,58 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     nw = max(n - k + 1, 1)
     h = np.zeros(nw, dtype=np.uint64)
     base = np.uint64(_SHINGLE_BASE)
-    mod = np.uint64(_MAX_SHINGLE_HASH)
+    mask = np.uint64(_MAX_SHINGLE_HASH - 1)  # mod 2^32 == AND (power of two)
     for i in range(min(k, n)):
-        h = (h * base + cps[i : i + nw]) % mod
+        h = (h * base + cps[i : i + nw]) & mask
     return h
+
+
+def _batch_shingle_hashes(texts, k: int):
+    """Per-doc UNIQUE shingle hashes for a whole Arrow batch in one
+    vectorized pass: all texts' code points are hashed as one array
+    (k slice ops total), cross-doc windows are masked out by position
+    arithmetic, and per-doc dedup is a single np.unique over the
+    (doc_idx<<32 | hash) composite. Docs shorter than k fall back to the
+    per-doc path (their single whole-text shingle would otherwise fold
+    in the next doc's chars). Returns (hashes, doc_idx), doc-ordered."""
+    lens = np.fromiter((len(t or "") for t in texts), dtype=np.int64,
+                       count=len(texts))
+    long_mask = lens >= k
+    joined = "".join(t or "" for t in texts)
+    cps = np.frombuffer(
+        joined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    n = cps.size
+    base = np.uint64(_SHINGLE_BASE)
+    mask = np.uint64(_MAX_SHINGLE_HASH - 1)
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(min(k, n) if n else 0):
+        m = n - i
+        h[:m] = (h[:m] * base + cps[i:]) & mask
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    counts = np.where(long_mask, lens - k + 1, 0)
+    total = int(counts.sum())
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    cumc = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.repeat(starts, counts) + (
+        np.arange(total) - np.repeat(cumc, counts)
+    )
+    hv, dv = h[pos], doc_of
+    extra_h, extra_d = [], []
+    for i in np.flatnonzero(~long_mask):
+        hs = _shingle_hashes(texts[i] or "", k)
+        if hs.size:
+            extra_h.append(hs)
+            extra_d.append(np.full(hs.size, i, dtype=np.int64))
+    if extra_h:
+        hv = np.concatenate([hv] + extra_h)
+        dv = np.concatenate([dv] + extra_d)
+    if hv.size == 0:
+        return hv, dv
+    # Per-doc dedup (min is set-invariant; repetition is the common case)
+    comp = np.unique((dv.astype(np.uint64) << np.uint64(32)) | hv)
+    return comp & mask, (comp >> np.uint64(32)).astype(np.int64)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -102,30 +156,42 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     a, b = _hash_params(n_hashes, seed)
 
+    M = np.uint64(_MERSENNE)
+
     def _sig(batches):
+        chunk = max(1, _PERMUTE_CHUNK_ELEMS // n_hashes)
+        buf = np.empty((chunk, n_hashes), dtype=np.uint64)
+        hi = np.empty((chunk, n_hashes), dtype=np.uint64)
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             sigs = np.full((len(pdf), n_hashes), _MERSENNE, dtype=np.uint64)
-            # Collect shingle base-hashes per doc.
-            all_h, doc_idx = [], []
-            for i, text in enumerate(pdf[text_col]):
-                hs = _shingle_hashes(text or "", shingle_k)
-                if hs.size == 0:
-                    continue
-                all_h.append(hs)
-                doc_idx.append(np.full(hs.size, i, dtype=np.int64))
-            if all_h:
-                h = np.concatenate(all_h)
-                d = np.concatenate(doc_idx)
-                # (n_shingles, n_hashes) permuted hashes, min per doc.
-                perm = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                order = np.argsort(d, kind="stable")
-                d_s, perm_s = d[order], perm[order]
+            # One vectorized shingle pass for the whole batch, per-doc
+            # deduped (min is set-invariant), doc-ordered.
+            h, d = _batch_shingle_hashes(list(pdf[text_col]), shingle_k)
+            # (chunk, n_hashes) permuted hashes, min per doc. Chunks are
+            # cache-sized and the buffers are reused, so the six vector
+            # passes run at compute speed and memory stays O(1) in the
+            # batch. Docs split across a chunk boundary meet at the
+            # running np.minimum fold.
+            for s in range(0, h.size, chunk):
+                hc, dc = h[s : s + chunk], d[s : s + chunk]
+                x = buf[: hc.size]
+                y = hi[: hc.size]
+                np.multiply(hc[:, None], a[None, :], out=x)
+                np.add(x, b[None, :], out=x)
+                # Mersenne reduction: for x < 2^63, x mod (2^61−1) ==
+                # (x & M) + (x >> 61), minus M on the rare overflow —
+                # bit ops instead of a 64-bit division per element.
+                np.right_shift(x, np.uint64(61), out=y)
+                np.bitwise_and(x, M, out=x)
+                np.add(x, y, out=x)
+                np.subtract(x, M, out=x, where=x >= M)
                 starts = np.flatnonzero(
-                    np.concatenate(([True], d_s[1:] != d_s[:-1]))
+                    np.concatenate(([True], dc[1:] != dc[:-1]))
                 )
-                mins = np.minimum.reduceat(perm_s, starts, axis=0)
-                sigs[d_s[starts]] = mins
+                mins = np.minimum.reduceat(x, starts, axis=0)
+                docs = dc[starts]  # unique within the chunk
+                sigs[docs] = np.minimum(sigs[docs], mins)
             yield pd.DataFrame(
                 {
                     id_col: ids,
