@@ -176,7 +176,11 @@ def q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term")
     ).distinct()
-    total = d.count()
+    # Row count from parquet footers (driver-side metadata), not a second
+    # full Spark scan of the table.
+    import pyarrow.dataset as pads
+
+    total = pads.dataset(_t(sf_dir, "documents")).count_rows()
     return (
         toks.groupBy("term")
         .agg(F.count("*").alias("df"))

@@ -550,6 +550,7 @@ def build_index(
     fail_after_groups: int | None = None,
     pages: DataFrame | None = None,
     source_filter: str | None = None,
+    concurrent_groups: int = 1,
 ) -> dict:
     """Run (or resume) a full index build. Returns the published manifest.
 
@@ -632,11 +633,8 @@ def build_index(
     # ---- Stage "segment": per-group docmap + level-0 segment build,
     # idempotent group-scoped writes, ledger commit per group.
     done = committed_groups(spark, layout, "segment", resume_key)
-    groups_run = 0
-    for g in range(n_groups):
-        if g in done:
-            log.info("group %d already committed — skipping (resume)", g)
-            continue
+
+    def _run_group(g: int) -> None:
         part = spark.read.parquet(extracted_dir).filter(F.col("grp") == g)
         # docmap group files are written straight to their final location
         # (clustered by doc_id via the window's output order) — publish is
@@ -666,9 +664,38 @@ def build_index(
             ],
         )
         log.info("group %d committed: %d docs, %d segment bytes", g, docs_g, bytes_g)
-        groups_run += 1
-        if fail_after_groups is not None and groups_run >= fail_after_groups:
-            raise SimulatedFailure(f"killed after {groups_run} groups (test)")
+
+    pending = [g for g in range(n_groups) if g not in done]
+    if len(done):
+        log.info("%d groups already committed — skipping (resume)", len(done))
+    if fail_after_groups is not None:
+        # Deterministic kill switch for resume tests: run groups in order,
+        # die after exactly N commits.
+        for groups_run, g in enumerate(pending, 1):
+            _run_group(g)
+            if groups_run >= fail_after_groups:
+                raise SimulatedFailure(f"killed after {groups_run} groups (test)")
+    elif concurrent_groups > 1 and len(pending) > 1:
+        # Overlap per-group driver gaps (job setup, parquet commit, ledger
+        # write, FS walk): groups are independent — their writes target
+        # disjoint group-scoped dirs and ledger commits are atomic
+        # uuid-named files — so they can be submitted from a small thread
+        # pool on a real cluster, where the scheduler caps concurrent
+        # tasks at total cores and the per-group driver barrier is the
+        # growing cost as executors scale. Default is OFF (sequential):
+        # on this sandbox's microVM host, concurrent Arrow-UDF stages
+        # page-fault together and anti-scale 5× (measured — see BENCH.md
+        # environment note), and the same is true of any memory-bound
+        # single-node deployment.
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(concurrent_groups, len(pending))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for f in [ex.submit(_run_group, g) for g in pending]:
+                f.result()  # re-raise the first failure
+    else:
+        for g in pending:
+            _run_group(g)
 
     # ---- Finalize (idempotent overwrites): merge, dictionary, stats,
     # atomic manifest publish (D3/B11).

@@ -127,6 +127,33 @@ def _batch_shingle_hashes(texts, k: int):
     return comp & mask, (comp >> np.uint64(32)).astype(np.int64)
 
 
+#: Char budget per doc-chunk of the shingle stage. All of the stage's
+#: temporaries (code points, rolling hashes, window gather, composite
+#: dedup) are proportional to the chunk's char count, so 256k chars keeps
+#: each one ~2 MB: first-touched once per worker, then reused from the
+#: retained malloc arena. Feeding _batch_shingle_hashes a whole 10k-doc
+#: Arrow batch instead allocates ~6 × 60 MB fresh pages per batch, and on
+#: a host that serializes concurrent first-touch faults (see BENCH.md)
+#: that page-fault storm — not the arithmetic — dominated the kernel.
+_SHINGLE_CHUNK_CHARS = 256 * 1024
+
+
+def _iter_doc_chunks(texts, max_chars: int):
+    """Yield (start, end) doc ranges whose total char count ≤ max_chars
+    (a single over-long doc gets its own range)."""
+    i, n = 0, len(texts)
+    while i < n:
+        j, budget = i, max_chars
+        while j < n:
+            ln = len(texts[j] or "")
+            if j > i and ln > budget:
+                break
+            budget -= ln
+            j += 1
+        yield i, j
+        i = j
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash (keeps the smallest id as
@@ -165,33 +192,39 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             sigs = np.full((len(pdf), n_hashes), _MERSENNE, dtype=np.uint64)
-            # One vectorized shingle pass for the whole batch, per-doc
-            # deduped (min is set-invariant), doc-ordered.
-            h, d = _batch_shingle_hashes(list(pdf[text_col]), shingle_k)
-            # (chunk, n_hashes) permuted hashes, min per doc. Chunks are
-            # cache-sized and the buffers are reused, so the six vector
-            # passes run at compute speed and memory stays O(1) in the
-            # batch. Docs split across a chunk boundary meet at the
-            # running np.minimum fold.
-            for s in range(0, h.size, chunk):
-                hc, dc = h[s : s + chunk], d[s : s + chunk]
-                x = buf[: hc.size]
-                y = hi[: hc.size]
-                np.multiply(hc[:, None], a[None, :], out=x)
-                np.add(x, b[None, :], out=x)
-                # Mersenne reduction: for x < 2^63, x mod (2^61−1) ==
-                # (x & M) + (x >> 61), minus M on the rare overflow —
-                # bit ops instead of a 64-bit division per element.
-                np.right_shift(x, np.uint64(61), out=y)
-                np.bitwise_and(x, M, out=x)
-                np.add(x, y, out=x)
-                np.subtract(x, M, out=x, where=x >= M)
-                starts = np.flatnonzero(
-                    np.concatenate(([True], dc[1:] != dc[:-1]))
-                )
-                mins = np.minimum.reduceat(x, starts, axis=0)
-                docs = dc[starts]  # unique within the chunk
-                sigs[docs] = np.minimum(sigs[docs], mins)
+            texts = list(pdf[text_col])
+            # Shingle-hash the batch in ~256k-char doc-chunks (bounded,
+            # arena-reused temporaries — see _SHINGLE_CHUNK_CHARS), each
+            # per-doc deduped (min is set-invariant) and fed straight
+            # into the permute fold while still cache-resident.
+            for i0, i1 in _iter_doc_chunks(texts, _SHINGLE_CHUNK_CHARS):
+                h, d = _batch_shingle_hashes(texts[i0:i1], shingle_k)
+                if d.size:
+                    d += i0
+                # (chunk, n_hashes) permuted hashes, min per doc. Chunks
+                # are cache-sized and the buffers are reused, so the six
+                # vector passes run at compute speed and memory stays
+                # O(1) in the batch. Docs split across a chunk boundary
+                # meet at the running np.minimum fold.
+                for s in range(0, h.size, chunk):
+                    hc, dc = h[s : s + chunk], d[s : s + chunk]
+                    x = buf[: hc.size]
+                    y = hi[: hc.size]
+                    np.multiply(hc[:, None], a[None, :], out=x)
+                    np.add(x, b[None, :], out=x)
+                    # Mersenne reduction: for x < 2^63, x mod (2^61−1)
+                    # == (x & M) + (x >> 61), minus M on the rare
+                    # overflow — bit ops, not a division per element.
+                    np.right_shift(x, np.uint64(61), out=y)
+                    np.bitwise_and(x, M, out=x)
+                    np.add(x, y, out=x)
+                    np.subtract(x, M, out=x, where=x >= M)
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], dc[1:] != dc[:-1]))
+                    )
+                    mins = np.minimum.reduceat(x, starts, axis=0)
+                    docs = dc[starts]  # unique within the chunk
+                    sigs[docs] = np.minimum(sigs[docs], mins)
             yield pd.DataFrame(
                 {
                     id_col: ids,
