@@ -351,10 +351,38 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     plan_bc = spark.sparkContext.broadcast(dict(q_terms))
     avgdl_bc = avgdl
 
+    # Flush the in-task partial combine every ~1M expanded (query, doc,
+    # contrib) rows: the lexsort-based combine then touches ~24 MB of
+    # reusable arena pages per flush instead of one unbounded
+    # batch-sized concat (a hot 50-query batch expands a 10k-block Arrow
+    # batch to >100 MB of fresh pages — the partial agg is a shuffle-size
+    # optimization, so flushing early only costs a few duplicate
+    # (query, doc) partials that groupBy re-aggregates anyway).
+    _COMBINE_FLUSH_ROWS = 1 << 20
+
     def score_partition(batches):
+        def combine(qids_out, dids_out, contribs_out):
+            qid = np.concatenate(qids_out)
+            did = np.concatenate(dids_out)
+            con = np.concatenate(contribs_out)
+            # In-task partial aggregation (map-side combine).
+            order = np.lexsort((did, qid))
+            qid, did, con = qid[order], did[order], con[order]
+            new = np.concatenate(
+                ([True], (qid[1:] != qid[:-1]) | (did[1:] != did[:-1]))
+            )
+            starts = np.flatnonzero(new)
+            return pd.DataFrame(
+                {
+                    "query_id": qid[starts],
+                    "doc_id": did[starts],
+                    "partial": np.add.reduceat(con, starts),
+                }
+            )
+
         for pdf in batches:
             plan = plan_bc.value
-            qids_out, dids_out, contribs_out = [], [], []
+            qids_out, dids_out, contribs_out, pending = [], [], [], 0
             # Group rows by term: one bulk vectorized decode per term, then
             # one (qid, weight) broadcast per query containing it.
             for term, g in pdf.groupby("term", sort=False):
@@ -371,25 +399,12 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                     qids_out.append(np.full(ids64.size, qid, dtype=np.int64))
                     dids_out.append(ids64)
                     contribs_out.append(base * w)
-            if not qids_out:
-                continue
-            qid = np.concatenate(qids_out)
-            did = np.concatenate(dids_out)
-            con = np.concatenate(contribs_out)
-            # In-task partial aggregation (map-side combine).
-            order = np.lexsort((did, qid))
-            qid, did, con = qid[order], did[order], con[order]
-            new = np.concatenate(
-                ([True], (qid[1:] != qid[:-1]) | (did[1:] != did[:-1]))
-            )
-            starts = np.flatnonzero(new)
-            yield pd.DataFrame(
-                {
-                    "query_id": qid[starts],
-                    "doc_id": did[starts],
-                    "partial": np.add.reduceat(con, starts),
-                }
-            )
+                    pending += ids64.size
+                if pending >= _COMBINE_FLUSH_ROWS:
+                    yield combine(qids_out, dids_out, contribs_out)
+                    qids_out, dids_out, contribs_out, pending = [], [], [], 0
+            if qids_out:
+                yield combine(qids_out, dids_out, contribs_out)
 
     postings = (
         spark.read.parquet(paths["postings"])
