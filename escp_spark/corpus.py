@@ -123,7 +123,11 @@ def write_web_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> int:
             "lang": pa.array(cols["lang"], pa.string()),
         }
     )
-    pq.write_table(table, path)
+    # Small row groups (64k rows ≈ 45 MB) so Spark's byte-range splits
+    # each own ≥1 row group and the corpus scan parallelizes — the
+    # pyarrow default (1M rows/group) made a 2M-doc corpus exactly TWO
+    # map tasks, a serial fraction that poisoned every scaling number.
+    pq.write_table(table, path, row_group_size=64 * 1024)
     return table.num_rows
 
 

@@ -249,3 +249,37 @@ def test_multimodal_frame_sampling(spark, media):
     assert len(frames) == 3  # 3500ms → 3 frames
     assert [f.ts_ms for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1000, 2000]
     assert all(len(f.frame_feature) == 16 for f in frames)
+
+
+def test_shingle_chunking_is_doc_exact():
+    """_iter_doc_chunks never splits a doc, covers every doc exactly
+    once, and the chunked shingle pass equals the unchunked one —
+    the invariant that lets minhash bound its temporaries."""
+    import numpy as np
+
+    from escp_spark.operators.dedup import (
+        _batch_shingle_hashes,
+        _iter_doc_chunks,
+    )
+
+    texts = ["", "ab", "abcdefgh" * 50, None, "x" * 5000, "hello world"] * 7
+    ranges = list(_iter_doc_chunks(texts, max_chars=600))
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(texts)
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert b == c and a < b
+    # over-long doc gets its own range but is never dropped
+    covered = [i for a, b in ranges for i in range(a, b)]
+    assert covered == list(range(len(texts)))
+
+    h0, d0 = _batch_shingle_hashes([t or "" for t in texts], 5)
+    hs, ds = [], []
+    for a, b in ranges:
+        h, d = _batch_shingle_hashes([t or "" for t in texts[a:b]], 5)
+        if d.size:
+            d = d + a
+        hs.append(h)
+        ds.append(d)
+    h1, d1 = np.concatenate(hs), np.concatenate(ds)
+    key0 = np.sort(d0.astype(np.uint64) << np.uint64(32) | h0)
+    key1 = np.sort(d1.astype(np.uint64) << np.uint64(32) | h1)
+    assert np.array_equal(key0, key1)
