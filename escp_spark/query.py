@@ -418,31 +418,29 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         F.sum("partial").alias("score")
     )
 
-    # Partition-local tie-complete top-k BEFORE the per-query rank window.
-    # After the groupBy, every (query_id, doc_id) score is FINAL, so a
-    # local cut at the k-th largest local score is rank-safe: a row cut
-    # locally has ≥ k local rows strictly above it, hence ≥ k global rows
-    # above it, hence it can never be in the global tie-complete top-k.
-    # This bounds the window's input to ≤ n_partitions × k rows per query
-    # — without it, a hot single-term query ships its entire candidate
-    # set (≈ all docs at 100×) into ONE window partition for sorting.
+    # Salted tie-complete top-k BEFORE the per-query rank window. After
+    # the groupBy, every (query_id, doc_id) score is FINAL, so a cut at
+    # the k-th largest score WITHIN any disjoint subset is rank-safe: a
+    # cut row has ≥ k rows of its own query strictly above it in its
+    # subset, hence ≥ k globally, hence it can never be in the global
+    # tie-complete top-k (rank() keeps boundary ties at both stages).
+    # The subsets are (query_id, hash-salt) groups, so the heavy sort is
+    # spread over n_salts groups per query and the final window ranks
+    # ≤ n_salts × (k + ties) rows per query — without this, a hot
+    # single-term query ships its entire candidate set (≈ all docs at
+    # 100×) into ONE window partition. Stays entirely JVM-side: an
+    # earlier mapInPandas variant of this cut serialized the full
+    # ~10^7-row candidate set through Arrow→Python and was 10× slower
+    # than Tungsten's window sort at the 2M-doc scale.
     k_max = max(q["k"] for q in queries)
-
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keep = []
-            for _, g in pdf.groupby("query_id", sort=False):
-                s = g["score"].to_numpy()
-                if s.size > k_max:
-                    kth = np.partition(s, -k_max)[-k_max]
-                    g = g[s >= kth]          # ≥ keeps boundary ties
-                keep.append(g)
-            yield pd.concat(keep)
-
-    bounded = scores.mapInPandas(
-        local_topk, "query_id int, doc_id long, score double"
+    n_salts = max(32, spark.sparkContext.defaultParallelism * 2)
+    w_salt = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    ).orderBy(F.col("score").desc())
+    bounded = (
+        scores.withColumn("rk_s", F.rank().over(w_salt))
+        .filter(F.col("rk_s") <= F.lit(k_max))
+        .drop("rk_s")
     )
 
     kdf = spark.createDataFrame(
