@@ -40,7 +40,10 @@ def _sf_from_dir(d: str) -> float:
 def ensure_corpus(n_rows: int) -> str:
     from escp_spark.corpus import write_web_pages_parquet
 
-    path = os.path.join(WORK, f"web_pages_{n_rows}.parquet")
+    # Layout-versioned cache name: corpora written before the 64k-rows/
+    # row-group change would otherwise be reused with the old 1M-row
+    # layout and silently serialize the scan (ADVICE r02).
+    path = os.path.join(WORK, f"web_pages_{n_rows}_rg64k.parquet")
     if not os.path.exists(path):
         os.makedirs(WORK, exist_ok=True)
         write_web_pages_parquet(path, n_rows)

@@ -80,15 +80,22 @@ def _best_run(cpus: int, corpus: str, n_docs: int, repeats: int) -> dict:
     number and the right basis for a scaling ratio. Raw samples are
     kept in the output for honesty."""
     runs = [run_level(cpus, corpus, n_docs) for _ in range(repeats)]
-    best = min(runs, key=lambda r: r["build_sec"] + r["query_sec"])
-    best = dict(best)
-    best["build_sec"] = min(r["build_sec"] for r in runs)
-    best["query_sec"] = min(r["query_sec"] for r in runs)
-    best["build_docs_per_sec"] = n_docs / best["build_sec"]
-    best["queries_per_sec"] = max(r["queries_per_sec"] for r in runs)
-    best["all_build_sec"] = [round(r["build_sec"], 1) for r in runs]
-    best["all_query_sec"] = [round(r["query_sec"], 1) for r in runs]
-    return best
+    # Every reported field derives from the per-metric minima (ADVICE r02:
+    # copying unrelated fields from a single "base" run made the record
+    # internally inconsistent). n_queries is constant across runs.
+    n_queries = round(runs[0]["queries_per_sec"] * runs[0]["query_sec"])
+    build_sec = min(r["build_sec"] for r in runs)
+    query_sec = min(r["query_sec"] for r in runs)
+    return {
+        "cpus": cpus,
+        "build_sec": build_sec,
+        "query_sec": query_sec,
+        "n_docs": n_docs,
+        "build_docs_per_sec": n_docs / build_sec,
+        "queries_per_sec": n_queries / query_sec,
+        "all_build_sec": [round(r["build_sec"], 1) for r in runs],
+        "all_query_sec": [round(r["query_sec"], 1) for r in runs],
+    }
 
 
 def main():

@@ -687,12 +687,20 @@ def build_index(
         # page-fault together and anti-scale 5× (measured — see BENCH.md
         # environment note), and the same is true of any memory-bound
         # single-node deployment.
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
         workers = min(concurrent_groups, len(pending))
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            for f in [ex.submit(_run_group, g) for g in pending]:
-                f.result()  # re-raise the first failure
+            futs = [ex.submit(_run_group, g) for g in pending]
+            done_f, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+            # Surface the FIRST failure promptly (not in submit order) and
+            # don't keep sibling groups running behind it: unstarted
+            # futures cancel; in-flight ones finish their idempotent
+            # group write harmlessly (ADVICE r02).
+            for f in not_done:
+                f.cancel()
+            for f in done_f:
+                f.result()  # re-raise
     else:
         for g in pending:
             _run_group(g)

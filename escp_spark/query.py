@@ -400,9 +400,12 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                     dids_out.append(ids64)
                     contribs_out.append(base * w)
                     pending += ids64.size
-                if pending >= _COMBINE_FLUSH_ROWS:
-                    yield combine(qids_out, dids_out, contribs_out)
-                    qids_out, dids_out, contribs_out, pending = [], [], [], 0
+                    # Check inside the per-qid loop: a hot term hit by many
+                    # queries would otherwise expand the whole target list
+                    # in one unchecked burst of fresh pages (ADVICE r02).
+                    if pending >= _COMBINE_FLUSH_ROWS:
+                        yield combine(qids_out, dids_out, contribs_out)
+                        qids_out, dids_out, contribs_out, pending = [], [], [], 0
             if qids_out:
                 yield combine(qids_out, dids_out, contribs_out)
 
@@ -452,7 +455,21 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         .withColumn("rk", F.rank().over(w))         # rank() keeps boundary ties
         .filter(F.col("rk") <= F.col("k"))
     )
-    docmap = spark.read.parquet(paths["docmap"]).select("doc_id", "url")
+    # The tie-complete candidate set is driver-sized by construction
+    # (≤ Σ_q (k_q + boundary ties)). Materialize it once (localCheckpoint —
+    # tiny), collect its doc_ids, and push them INTO the docmap scan as an
+    # isin filter: the probe side of the url join then reads only the
+    # row groups containing candidates (PushedFilters: In(doc_id, ...)),
+    # instead of a full scan of a table with one row per corpus doc
+    # (10^12 at design scale). Mirrors the serving path's urls_for
+    # pushdown (VERDICT r02 wrong-#3).
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = [r.doc_id for r in cand.select("doc_id").distinct().collect()]
+    docmap = (
+        spark.read.parquet(paths["docmap"])
+        .filter(F.col("doc_id").isin(cand_ids))
+        .select("doc_id", "url")
+    )
     joined = docmap.join(F.broadcast(cand), "doc_id")
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("url").asc()

@@ -50,18 +50,17 @@ def _norm(rows):
 ALL = sorted(entrymod.queries().keys())
 
 
+def test_every_query_has_an_oracle():
+    """Locks in the 28/28 bar: every queries() entry MUST carry a DuckDB
+    oracle — a future query can't silently ship oracle-less."""
+    missing = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+    assert not missing, f"queries without oracle_sql: {missing}"
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, name):
     qfn = entrymod.queries()[name]
-    sql = entrymod.oracle_sql().get(name)
-    if sql is None:
-        # Hash-based ops (minhash LSH, ANN-LSH) have no SQL oracle — the
-        # driver records a rows-only check; exactness is pytest-covered
-        # in test_operators.py. Here: must run and return a stable schema.
-        out = qfn(spark, SF_DIR)
-        out.collect()
-        assert out.columns
-        return
+    sql = entrymod.oracle_sql()[name]
     sdf = qfn(spark, SF_DIR)
     cols = sorted(sdf.columns)
     spark_rows = [[getattr(r, c) for c in cols] for r in sdf.collect()]

@@ -47,6 +47,28 @@ def test_docmap_lookup_pushdown(spark, built_index):
     assert_pushed_filters(df, "In(doc_id")
 
 
+def test_batch_path_docmap_scan_pruned(spark, built_index):
+    """The batch path must push the (bounded) candidate doc_ids into the
+    docmap scan — at design scale the docmap has one row per corpus doc,
+    so an unfiltered probe-side scan is a full-table read per batch job
+    (VERDICT r02 wrong-#3)."""
+    from escp_spark.plans import explain_str
+    from escp_spark.query import search_topk_spark
+
+    df = search_topk_spark(
+        spark, built_index[0],
+        [{"query_id": 0, "query_text": "t00000 t00005", "k": 3}],
+    )
+    plan = explain_str(df)
+    import re
+
+    docmap_scans = [
+        s for s in re.split(r"\(\d+\) Scan parquet", plan) if "docmap" in s
+    ]
+    assert docmap_scans, "no docmap scan in plan"
+    assert all("In(doc_id" in s for s in docmap_scans), docmap_scans
+
+
 def test_no_per_row_python_anywhere(spark, built_index, tiny_corpus):
     """input_hint bans per-row Python: the build plan may contain Arrow
     operators (ArrowEvalPython / FlatMapGroupsInPandas) but never
