@@ -78,6 +78,18 @@ log = logging.getLogger("escp_spark.build")
 DOC_BUCKET_SHIFT = 40  # docid = bucket << 40 | rank-within-bucket
 MERGE_BLOCK_SHIFT = 20  # merged block_id = bucket << 20 | level0 block_id
 
+# Parquet row-group size of the PUBLISHED postings: the row group is the
+# serving path's physical I/O skip unit (a column chunk is read whole), so
+# small row groups = fine-grained payload skipping for pruned docid
+# windows — the Lucene skip-block analog. 8 MB keeps footer overhead
+# negligible while a hot term's posting list spans many row groups in
+# docid order at scale.
+POSTINGS_ROW_GROUP_BYTES = 8 << 20
+
+# Docmap is a point-lookup table at serve time (doc_id → url): small row
+# groups keep the read amplification of a ≤k-id lookup bounded.
+DOCMAP_ROW_GROUP_BYTES = 2 << 20
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
@@ -435,9 +447,10 @@ def merge_segments(
     n_buckets: int,
     max_segments: int,
     merge_parallelism: int,
-    physical: str = "narrow",
+    physical: str = "range",
     consolidate: bool = True,
     hot_term_blocks: int | None = None,
+    row_group_bytes: int = POSTINGS_ROW_GROUP_BYTES,
 ) -> int:
     """Merge level-0 (per-bucket) segments down to ≤ max_segments.
     Returns the index's ``prune_shift`` (the docid window granularity the
@@ -467,12 +480,14 @@ def merge_segments(
     finalize, where modulo segment placement breaks contiguity) every
     block stays inside one bucket and prune_shift stays DOC_BUCKET_SHIFT.
 
-    physical="narrow" (default): no shuffle for the full-block lane —
-    each input partition sorts itself by (segment, term, docid) and
-    writes into the per-segment dirs; every output file is term-sorted so
-    Parquet row-group stats give dictionary-seek pruning.
-    physical="range": clusters whole terms per output file so a query
-    touches ONE file per (cold term, segment) — driven by the B8
+    physical="range" (default): clusters whole terms per output file so a
+    query touches ONE file per (cold term, segment), and — decisive for
+    the metadata-first serving path — each row group's [term-min,
+    term-max] footer range is NARROW, so per-query metadata reads touch
+    only the query terms' row groups. (physical="narrow" avoids the
+    block shuffle but leaves every file spanning the whole vocabulary,
+    which makes every row group a stats-candidate for every query —
+    measured 5-8× worse serving p50.) Placement is driven by the B8
     df-stats pass (block counts per term from level-0 metadata), NOT by
     repartitionByRange's sampling job. Terms above ``hot_term_blocks``
     (default: total_blocks / merge_parallelism / 2) are classified hot
@@ -510,7 +525,11 @@ def merge_segments(
     else:
         merged = base.select(*_MERGED_COLS)
     if physical == "range":
-        stats = l0.groupBy("term").agg(F.count("*").alias("nblocks"))
+        # One aggregation pass over the level-0 block metadata; the
+        # vocab-sized result is persisted so the four derivations below
+        # (total, hot list, cold total, range bounds) don't each redo
+        # the shuffle.
+        stats = l0.groupBy("term").agg(F.count("*").alias("nblocks")).persist()
         total_blocks = stats.agg(F.sum("nblocks")).first()[0] or 0
         hot_cut = hot_term_blocks or max(
             total_blocks / max(merge_parallelism, 1) / 2, 64
@@ -519,18 +538,66 @@ def merge_segments(
         hot_terms = [
             r.term for r in stats.filter(F.col("nblocks") > hot_cut).collect()
         ]
+        # Cold terms get CONTIGUOUS, block-balanced term ranges (not a
+        # hash): a query term then lives in ONE file per segment and the
+        # metadata-first serving reader's footer check prunes every other
+        # FILE outright — with a hash each file spans the whole
+        # vocabulary and a tiny index reads every row group's metadata
+        # per query (measured 5-8× worse serving p50). Range boundaries
+        # come from cumulative block counts over the term-sorted stats
+        # (the dictionary is orders of magnitude smaller than the
+        # postings, so the single-task window is metadata-cheap; at
+        # extreme vocab sizes swap in a two-pass distributed prefix
+        # sum); only the ~P boundary terms come back to the driver.
+        cold = (
+            stats.filter(~F.col("term").isin(hot_terms)) if hot_terms else stats
+        )
+        total_cold = cold.agg(F.sum("nblocks")).first()[0] or 0
+        per_part = max(1.0, total_cold / max(merge_parallelism, 1))
+        wv = Window.orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
+        bounds = sorted(
+            r.t0
+            for r in cold.withColumn("cum", F.sum("nblocks").over(wv))
+            .withColumn(
+                "p",
+                F.floor((F.col("cum") - F.col("nblocks")) / F.lit(per_part)),
+            )
+            .groupBy("p")
+            .agg(F.min("term").alias("t0"))
+            .collect()
+        )
+        stats.unpersist()
         pos = F.shiftright(F.col("doc_id_lo"), DOC_BUCKET_SHIFT)
+        barr = (
+            F.array(*[F.lit(b) for b in bounds]) if bounds else F.array(F.lit(""))
+        )
+        cold_part = F.greatest(
+            F.size(F.filter(barr, lambda b: b <= F.col("term"))) - F.lit(1),
+            F.lit(0),
+        )
         mpart = F.when(
             F.col("term").isin(hot_terms) if hot_terms else F.lit(False),
             F.pmod(pos, F.lit(merge_parallelism)),
-        ).otherwise(F.pmod(F.xxhash64("term"), F.lit(merge_parallelism)))
+        ).otherwise(F.lit(merge_parallelism) + cold_part)
         merged = (
             merged.withColumn("mpart", mpart)
-            .repartition(merge_parallelism, "mpart")
+            .repartition(merge_parallelism + max(len(bounds), 1), "mpart")
             .drop("mpart")
         )
     merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo")
-    merged.write.mode("overwrite").partitionBy("segment").parquet(layout.postings)
+    (
+        merged.write.mode("overwrite")
+        .option("parquet.block.size", str(row_group_bytes))
+        # parquet-mr only checks the accumulated size every N rows
+        # (default 100) — scale the interval with the target so small
+        # row groups (tests, fine-grained indexes) are actually honored.
+        .option(
+            "parquet.page.size.row.check.min",
+            str(max(4, min(100, row_group_bytes // (64 * 1024)))),
+        )
+        .partitionBy("segment")
+        .parquet(layout.postings)
+    )
     return DOC_BUCKET_SHIFT + (seg_shift if consolidate else 0)
 
 
@@ -551,6 +618,7 @@ def build_index(
     pages: DataFrame | None = None,
     source_filter: str | None = None,
     concurrent_groups: int = 1,
+    postings_row_group_bytes: int = POSTINGS_ROW_GROUP_BYTES,
 ) -> dict:
     """Run (or resume) a full index build. Returns the published manifest.
 
@@ -640,7 +708,11 @@ def build_index(
         # (clustered by doc_id via the window's output order) — publish is
         # zero-copy, which matters when the docmap has 10^12 rows.
         dm_path = os.path.join(layout.docmap, f"group={g}")
-        docmap_for(part).write.mode("overwrite").parquet(dm_path)
+        (
+            docmap_for(part).write.mode("overwrite")
+            .option("parquet.block.size", str(DOCMAP_ROW_GROUP_BYTES))
+            .parquet(dm_path)
+        )
         seg_path = os.path.join(layout.postings_l0, f"group={g}")
         build_segments(part.select("url", "bucket", "text")).write.mode(
             "overwrite"
@@ -708,7 +780,8 @@ def build_index(
     # ---- Finalize (idempotent overwrites): merge, dictionary, stats,
     # atomic manifest publish (D3/B11).
     prune_shift = merge_segments(
-        spark, layout, n_buckets, max_segments, merge_parallelism
+        spark, layout, n_buckets, max_segments, merge_parallelism,
+        row_group_bytes=postings_row_group_bytes,
     )
 
     postings = spark.read.parquet(layout.postings)

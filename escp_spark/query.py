@@ -39,8 +39,10 @@ from .codec import decode_block, decode_blocks_bulk
 from .functions.bm25 import bm25_contrib, bm25_upper_bound, idf_lucene
 from .sources.tables import load_manifest
 
-POSTING_COLS = ["term", "n", "doc_id_lo", "doc_id_hi", "max_tf", "min_dl",
-                "doc_ids", "tfs", "dls"]
+META_COLS = ["term", "n", "doc_id_lo", "doc_id_hi", "max_tf", "min_dl"]
+PAYLOAD_COLS = ["doc_ids", "tfs", "dls"]
+POSTING_COLS = META_COLS + PAYLOAD_COLS
+_SRC_COLS = ["__fi", "__rg", "__pos"]  # (file, row group, row) of a block
 
 # Pruning telemetry of the most recent _prune_and_score call (the M1/M2
 # metering analog for the query side; tests assert pruning actually fires).
@@ -53,7 +55,24 @@ last_prune_stats: dict = {}
 
 class IndexReader:
     """Reads the published index artifacts (manifest-gated — an index that
-    was never atomically published refuses to load; the D3 analog)."""
+    was never atomically published refuses to load; the D3 analog).
+
+    Serving reads are **metadata-first** (VERDICT r02 #2 — the Lucene
+    block-max-skipping semantic saves I/O, not just CPU): the small stats
+    columns (term, n, docid range, max_tf, min_dl) are read up front for
+    the query terms; the posting PAYLOAD bytes (doc_ids/tfs/dls binaries)
+    are fetched lazily, per Parquet row group, only for blocks the WAND
+    pruning keeps. Row groups are the physical skip unit (a Parquet
+    column chunk is read whole), so the postings are written with a small
+    ``parquet.block.size`` (build.POSTINGS_ROW_GROUP_BYTES) — at 10^12-doc
+    scale a hot term's list spans many row groups in docid order, and a
+    pruned docid window skips its row groups' payload bytes entirely.
+    ``payload_bytes_fetched`` / ``payload_rowgroups_fetched`` count actual
+    reads (cache misses) for telemetry and tests."""
+
+    _PAYLOAD_CACHE_MAX = 64   # payload row groups kept hot across queries
+    _META_CACHE_MAX = 512     # stats row groups kept hot (small columns)
+    _DICT_CACHE_MAX_ROWS = 20_000_000  # term dict kept in RAM below this
 
     def __init__(self, index_dir: str):
         self.manifest = load_manifest(index_dir)
@@ -64,16 +83,163 @@ class IndexReader:
         self._docmap = pads.dataset(p["docmap"], format="parquet")
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
+        self._pfiles = sorted(self._postings.files)
+        self._pf: dict[int, object] = {}        # fi -> pq.ParquetFile
+        self._rg_index = None                    # [(fi, rgi, tmin, tmax)]
+        self._payload_sizes: dict[tuple, int] = {}
+        self._payload_cache: dict[tuple, tuple] = {}
+        self._meta_cache: dict[tuple, tuple] = {}
+        self._dict_cache: dict[str, int] | None = None
+        self._dm_files = sorted(self._docmap.files)
+        self._dm_pf: dict[int, object] = {}
+        self._dm_index = None                    # [(fi, rgi, id_lo, id_hi)]
+        self._dm_cache: dict[tuple, tuple] = {}
+        self.payload_bytes_fetched = 0
+        self.payload_rowgroups_fetched = 0
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per query term. The term dictionary is the index's hottest
+        metadata — kept memory-resident (the Lucene term-dict analog)
+        unless it exceeds _DICT_CACHE_MAX_ROWS, in which case each call
+        falls back to a stats-pruned filtered scan."""
         if not terms:
             return {}
+        if self._dict_cache is None:
+            if self._dictionary.count_rows() <= self._DICT_CACHE_MAX_ROWS:
+                t = self._dictionary.to_table(columns=["term", "df"])
+                self._dict_cache = dict(
+                    zip(t["term"].to_pylist(), t["df"].to_pylist())
+                )
+            else:
+                self._dict_cache = {}  # sentinel: too big, scan per call
+        if self._dict_cache:
+            return {t: self._dict_cache[t] for t in terms if t in self._dict_cache}
         t = self._dictionary.to_table(
             columns=["term", "df"], filter=pads.field("term").isin(terms)
         )
         return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
+    def _file(self, fi: int):
+        import pyarrow.parquet as pq
+
+        pf = self._pf.get(fi)
+        if pf is None:
+            pf = self._pf[fi] = pq.ParquetFile(self._pfiles[fi])
+        return pf
+
+    def _rg_stats(self) -> list[tuple]:
+        """(file, row group, term min, term max) for every postings row
+        group — built once from the Parquet footers (the term-dictionary
+        seek structure of the serving path). Also caches each row group's
+        compressed payload size for the bytes-fetched telemetry."""
+        if self._rg_index is None:
+            idx = []
+            for fi in range(len(self._pfiles)):
+                md = self._file(fi).metadata
+                names = md.schema.names
+                ti = names.index("term")
+                pis = [names.index(c) for c in PAYLOAD_COLS]
+                for rgi in range(md.num_row_groups):
+                    rg = md.row_group(rgi)
+                    st = rg.column(ti).statistics
+                    tmin, tmax = (
+                        (st.min, st.max)
+                        if st is not None and st.has_min_max
+                        else (None, None)
+                    )
+                    self._payload_sizes[(fi, rgi)] = sum(
+                        rg.column(pi).total_compressed_size for pi in pis
+                    )
+                    idx.append((fi, rgi, tmin, tmax))
+            self._rg_index = idx
+        return self._rg_index
+
+    def _meta_arrays(self, fi: int, rgi: int) -> tuple:
+        """One row group's stats columns as numpy arrays (bounded cache —
+        these are the small columns, term + 5 ints per block)."""
+        arrs = self._meta_cache.get((fi, rgi))
+        if arrs is None:
+            tbl = self._file(fi).read_row_group(rgi, columns=META_COLS)
+            cols = tuple(
+                tbl.column(c).to_pandas().to_numpy() for c in META_COLS
+            )
+            # term kept as a pandas Index too: hash-based isin beats
+            # np.isin's object-dtype path on the hot lookup.
+            arrs = (pd.Index(cols[0]), cols)
+            if len(self._meta_cache) >= self._META_CACHE_MAX:
+                self._meta_cache.pop(next(iter(self._meta_cache)))
+            self._meta_cache[(fi, rgi)] = arrs
+        return arrs
+
+    def meta_for_terms(self, terms: list[str]) -> pd.DataFrame:
+        """Stats columns of every posting block of ``terms``, plus the
+        block's physical source (__fi, __rg, __pos) for the lazy payload
+        fetch. Row groups whose [term-min, term-max] cannot contain any
+        query term are never touched — with the merge's contiguous term
+        placement this prunes whole FILES, so a query reads metadata of
+        ~(terms × segments) row groups, independent of index size."""
+        cols = META_COLS + _SRC_COLS
+        if not terms:
+            return pd.DataFrame(columns=cols)
+        from bisect import bisect_left
+
+        tsorted = sorted(terms)
+        parts = []
+        for fi, rgi, tmin, tmax in self._rg_stats():
+            if tmin is not None:
+                i = bisect_left(tsorted, tmin)
+                if i >= len(tsorted) or tsorted[i] > tmax:
+                    continue
+            term_ix, cols_np = self._meta_arrays(fi, rgi)
+            mask = term_ix.isin(tsorted)
+            if not mask.any():
+                continue
+            pos = np.flatnonzero(mask)
+            parts.append((fi, rgi, pos, [a[pos] for a in cols_np]))
+        if not parts:
+            return pd.DataFrame(columns=cols)
+        data = {
+            c: np.concatenate([p[3][ci] for p in parts])
+            for ci, c in enumerate(META_COLS)
+        }
+        data["__fi"] = np.concatenate(
+            [np.full(p[2].size, p[0], dtype=np.int64) for p in parts]
+        )
+        data["__rg"] = np.concatenate(
+            [np.full(p[2].size, p[1], dtype=np.int64) for p in parts]
+        )
+        data["__pos"] = np.concatenate([p[2] for p in parts])
+        return pd.DataFrame(data)
+
+    def fetch_payloads(self, fi: np.ndarray, rg: np.ndarray, pos: np.ndarray):
+        """Payload buffers (doc_ids, tfs, dls bytes) for the given block
+        rows, reading each needed row group's payload column chunks at
+        most once (bounded cache). Returns three aligned object arrays."""
+        n = len(pos)
+        out = tuple(np.empty(n, dtype=object) for _ in range(3))
+        key = fi.astype(np.int64) * (1 << 20) + rg
+        for k in np.unique(key):
+            f, r = int(k >> 20), int(k & ((1 << 20) - 1))
+            arrs = self._payload_cache.get((f, r))
+            if arrs is None:
+                tbl = self._file(f).read_row_group(r, columns=PAYLOAD_COLS)
+                arrs = tuple(
+                    tbl.column(c).to_pandas().to_numpy() for c in PAYLOAD_COLS
+                )
+                if len(self._payload_cache) >= self._PAYLOAD_CACHE_MAX:
+                    self._payload_cache.pop(next(iter(self._payload_cache)))
+                self._payload_cache[(f, r)] = arrs
+                self.payload_bytes_fetched += self._payload_sizes.get((f, r), 0)
+                self.payload_rowgroups_fetched += 1
+            sel = np.flatnonzero(key == k)
+            p = pos[sel]
+            for o, a in zip(out, arrs):
+                o[sel] = a[p]
+        return out
+
     def blocks_for_terms(self, terms: list[str]) -> pd.DataFrame:
+        """Eager meta+payload read (kept for diagnostics/oracle use; the
+        serving path uses meta_for_terms + fetch_payloads)."""
         if not terms:
             return pd.DataFrame(columns=POSTING_COLS)
         t = self._postings.to_table(
@@ -81,14 +247,58 @@ class IndexReader:
         )
         return t.to_pandas()
 
+    def _dm_rg_index(self) -> list[tuple]:
+        """(file, row group, doc_id min, doc_id max) for the docmap —
+        footer-built once; docmap files are written doc_id-clustered per
+        bucket, so a top-k's ≤k url lookups touch ≤k row groups."""
+        if self._dm_index is None:
+            import pyarrow.parquet as pq
+
+            idx = []
+            for fi, path in enumerate(self._dm_files):
+                pf = self._dm_pf.setdefault(fi, pq.ParquetFile(path))
+                md = pf.metadata
+                di = md.schema.names.index("doc_id")
+                for rgi in range(md.num_row_groups):
+                    st = md.row_group(rgi).column(di).statistics
+                    lo, hi = (
+                        (st.min, st.max)
+                        if st is not None and st.has_min_max
+                        else (None, None)
+                    )
+                    idx.append((fi, rgi, lo, hi))
+            self._dm_index = idx
+        return self._dm_index
+
     def urls_for(self, doc_ids: np.ndarray) -> dict[int, str]:
         if doc_ids.size == 0:
             return {}
-        t = self._docmap.to_table(
-            columns=["doc_id", "url"],
-            filter=pads.field("doc_id").isin([int(d) for d in doc_ids]),
-        )
-        return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        out: dict[int, str] = {}
+        for fi, rgi, lo, hi in self._dm_rg_index():
+            if lo is not None and not np.any((ids >= lo) & (ids <= hi)):
+                continue
+            cached = self._dm_cache.get((fi, rgi))
+            if cached is None:
+                tbl = self._dm_pf[fi].read_row_group(
+                    rgi, columns=["doc_id", "url"]
+                )
+                rg_ids = tbl.column("doc_id").to_numpy()
+                rg_urls = tbl.column("url").to_pandas().to_numpy()
+                # A row group holds one or more bucket groups (each
+                # doc_id-sorted, concatenation order arbitrary) — sort
+                # once at cache time for binary-search lookups.
+                order = np.argsort(rg_ids, kind="stable")
+                cached = (rg_ids[order], rg_urls[order])
+                if len(self._dm_cache) >= self._PAYLOAD_CACHE_MAX:
+                    self._dm_cache.pop(next(iter(self._dm_cache)))
+                self._dm_cache[(fi, rgi)] = cached
+            rg_ids, rg_urls = cached
+            p = np.searchsorted(rg_ids, ids)
+            ok = (p < rg_ids.size) & (rg_ids[np.minimum(p, rg_ids.size - 1)] == ids)
+            for i in np.flatnonzero(ok):
+                out[int(ids[i])] = rg_urls[p[i]]
+        return out
 
 
 def _aggregate(doc_ids: np.ndarray, contribs: np.ndarray):
@@ -103,7 +313,7 @@ def _aggregate(doc_ids: np.ndarray, contribs: np.ndarray):
 
 def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
                      idf: dict[str, float], avgdl: float, k: int,
-                     window_shift: int = 40):
+                     window_shift: int = 40, fetch=None):
     """Block-max pruned scoring for ONE query — window-at-a-time WAND.
 
     Windows are buckets (docid = bucket<<40|rank, so docid>>40 is the
@@ -153,17 +363,30 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
     hi_w = blocks["doc_id_hi"].to_numpy(dtype=np.int64) >> window_shift
     spanning = lo_w != hi_w
 
-    id_bufs = blocks["doc_ids"].to_numpy()
-    tf_bufs = blocks["tfs"].to_numpy()
-    dl_bufs = blocks["dls"].to_numpy()
     ns = blocks["n"].to_numpy()
+    if fetch is not None:
+        # Lazy payload source (metadata-first serving): bytes are only
+        # read for rows actually decoded — pruned blocks cost zero I/O.
+        fi_a = blocks["__fi"].to_numpy(dtype=np.int64)
+        rg_a = blocks["__rg"].to_numpy(dtype=np.int64)
+        pos_a = blocks["__pos"].to_numpy(dtype=np.int64)
+
+        def get_bufs(idx: np.ndarray):
+            ids_b, tfs_b, dls_b = fetch(fi_a[idx], rg_a[idx], pos_a[idx])
+            return list(ids_b), list(tfs_b), list(dls_b)
+    else:
+        id_bufs = blocks["doc_ids"].to_numpy()
+        tf_bufs = blocks["tfs"].to_numpy()
+        dl_bufs = blocks["dls"].to_numpy()
+
+        def get_bufs(idx: np.ndarray):
+            return list(id_bufs[idx]), list(tf_bufs[idx]), list(dl_bufs[idx])
 
     def decode_rows(idx: np.ndarray):
         if idx.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0)
-        ids, tfs, dls, blk = decode_blocks_bulk(
-            list(id_bufs[idx]), list(tf_bufs[idx]), list(dl_bufs[idx]), ns[idx]
-        )
+        b_ids, b_tfs, b_dls = get_bufs(idx)
+        ids, tfs, dls, blk = decode_blocks_bulk(b_ids, b_tfs, b_dls, ns[idx])
         contribs = bm25_contrib(tfs, dls, avgdl, w_arr[idx][blk])
         return _aggregate(ids, contribs)
 
@@ -171,9 +394,9 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
     # term) maxima, then per-doc aggregation for the scoring merge).
     sp_idx = np.flatnonzero(spanning)
     if sp_idx.size:
+        sp_b_ids, sp_b_tfs, sp_b_dls = get_bufs(sp_idx)
         sp_raw_ids, sp_raw_tfs, sp_raw_dls, sp_blk = decode_blocks_bulk(
-            list(id_bufs[sp_idx]), list(tf_bufs[sp_idx]),
-            list(dl_bufs[sp_idx]), ns[sp_idx],
+            sp_b_ids, sp_b_tfs, sp_b_dls, ns[sp_idx],
         )
         sp_raw_contribs = bm25_contrib(
             sp_raw_tfs, sp_raw_dls, avgdl, w_arr[sp_idx][sp_blk]
@@ -270,17 +493,28 @@ def search_topk(index_dir: str, queries: list[dict],
     all_terms = sorted({t for q in queries for t in tokenize(q["query_text"])})
     dfs = reader.term_dfs(all_terms)
     idf = {t: float(idf_lucene(reader.n_docs, d)) for t, d in dfs.items()}
-    blocks = reader.blocks_for_terms([t for t in all_terms if t in dfs])
-    by_term = {t: g for t, g in blocks.groupby("term")} if len(blocks) else {}
+    # Metadata-first: stats columns only; payload bytes are fetched inside
+    # _prune_and_score for KEPT blocks via reader.fetch_payloads.
+    meta = reader.meta_for_terms([t for t in all_terms if t in dfs])
+    by_term = {t: g for t, g in meta.groupby("term")} if len(meta) else {}
+    empty_meta = pd.DataFrame(columns=META_COLS + _SRC_COLS)
 
     rows = []
     for q in queries:
         weights = dict(Counter(tokenize(q["query_text"])))
         qblocks = pd.concat(
             [by_term[t] for t in weights if t in by_term], ignore_index=True
-        ) if any(t in by_term for t in weights) else pd.DataFrame(columns=POSTING_COLS)
+        ) if any(t in by_term for t in weights) else empty_meta
+        io0 = (reader.payload_bytes_fetched, reader.payload_rowgroups_fetched)
         doc_ids, scores = _prune_and_score(
-            qblocks, weights, idf, reader.avgdl, q["k"]
+            qblocks, weights, idf, reader.avgdl, q["k"],
+            fetch=reader.fetch_payloads,
+        )
+        last_prune_stats["payload_bytes_fetched"] = (
+            reader.payload_bytes_fetched - io0[0]
+        )
+        last_prune_stats["payload_rowgroups_fetched"] = (
+            reader.payload_rowgroups_fetched - io0[1]
         )
         if doc_ids.size == 0:
             continue

@@ -63,8 +63,14 @@ def _ingest_epoch(batch_df: DataFrame, epoch: int, layout: IndexLayout,
         existing = spark.read.parquet(layout.docmap).select("url")
         prepared = prepared.join(existing, "url", "left_anti")
 
+    from ..build import DOCMAP_ROW_GROUP_BYTES
+
     dm_path = os.path.join(layout.docmap, f"group=e{epoch}")
-    docmap_for(prepared).write.mode("overwrite").parquet(dm_path)
+    (
+        docmap_for(prepared).write.mode("overwrite")
+        .option("parquet.block.size", str(DOCMAP_ROW_GROUP_BYTES))
+        .parquet(dm_path)
+    )
     seg_path = os.path.join(layout.postings_l0, f"group=e{epoch}")
     build_segments(prepared).write.mode("overwrite").parquet(seg_path)
     docs = spark.read.parquet(dm_path).count()
@@ -136,7 +142,14 @@ def finalize_streamed_index(spark: SparkSession, index_dir: str,
         .sortWithinPartitions("segment", "term", "doc_id_lo")
         .drop("bucket", "group")
     )
-    merged.write.mode("overwrite").partitionBy("segment").parquet(layout.postings)
+    from ..build import POSTINGS_ROW_GROUP_BYTES
+
+    (
+        merged.write.mode("overwrite")
+        .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+        .partitionBy("segment")
+        .parquet(layout.postings)
+    )
 
     postings = spark.read.parquet(layout.postings)
     (

@@ -87,6 +87,37 @@ def test_pruning_actually_fires(big_index):
     assert st["kept_blocks"] + st["pruned_blocks"] == st["total_blocks"]
 
 
+def test_payload_io_pruned(spark, big_index, tmp_path_factory):
+    """Metadata-first serving (VERDICT r02 #2): payload bytes read must
+    track KEPT blocks, not all blocks of the query terms. Build with
+    small posting row groups (the skip unit) so skipping is observable
+    at test scale, then assert the hot+rare query fetches strictly fewer
+    payload row groups/bytes than the terms' total."""
+    corpus, _ = big_index
+    idx = str(tmp_path_factory.mktemp("ioidx") / "idx")
+    build_index(spark, corpus, idx, n_buckets=8, max_segments=2,
+                n_groups=1, postings_row_group_bytes=2048)
+    reader = IndexReader(idx)
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(
+        reader.manifest["paths"]["dictionary"], format="parquet"
+    ).to_table().to_pandas()
+    rare = d[(d.df >= 3) & (d.df <= 20)].sort_values("term").iloc[0].term
+    terms = ["t00000", rare]
+    meta = reader.meta_for_terms(terms)
+    rgs_all = set(zip(meta["__fi"], meta["__rg"]))
+    total_bytes = sum(reader._payload_sizes[k] for k in rgs_all)
+    search_topk(
+        idx, [{"query_id": 0, "query_text": f"t00000 {rare}", "k": 3}],
+        reader=reader,
+    )
+    st = Q.last_prune_stats
+    assert st["pruned_blocks"] > 0, st
+    assert 0 < st["payload_rowgroups_fetched"] < len(rgs_all), (st, len(rgs_all))
+    assert 0 < st["payload_bytes_fetched"] < total_bytes, (st, total_bytes)
+
+
 def test_single_term_hot_query_correct(big_index, big_oracle):
     _, idx = big_index
     got = search_topk(idx, [{"query_id": 0, "query_text": "t00000", "k": 5}])
