@@ -68,6 +68,49 @@ def test_resume_skips_committed_and_is_identical(spark, tiny_corpus, tmp_path):
     assert _index_content(spark, d_interrupted) == _index_content(spark, d_clean)
 
 
+def test_resume_mid_extract_skips_committed_groups(spark, tiny_corpus, tmp_path):
+    """Kill after 1 of 4 EXTRACT groups (the most expensive stage);
+    rerun must skip the committed shuffle stage and the committed
+    extract group (files untouched), re-run only the remaining groups,
+    and produce an index content-identical to a clean build
+    (VERDICT r02 #3: extract-stage resume granularity)."""
+    d_interrupted = str(tmp_path / "idx_xresume")
+    d_clean = str(tmp_path / "idx_xclean")
+
+    with pytest.raises(SimulatedFailure):
+        build_index(
+            spark, tiny_corpus, d_interrupted,
+            n_buckets=8, max_segments=3, n_groups=4,
+            fail_after_extract_groups=1,
+        )
+    layout = IndexLayout(d_interrupted, "build0")
+    led = read_ledger(spark, layout)
+    assert led.filter(F.col("stage") == "shuffle").count() == 4
+    assert led.filter(F.col("stage") == "extract").count() == 1
+    assert led.filter(F.col("stage") == "segment").count() == 0
+    shuffled_dir = os.path.join(layout.staging, "shuffled")
+    committed_extract = os.path.join(layout.staging, "extracted", "grp=0")
+    before_shuffle = _file_mtimes(shuffled_dir)
+    before_extract = _file_mtimes(committed_extract)
+    assert before_shuffle and before_extract
+
+    build_index(
+        spark, tiny_corpus, d_interrupted,
+        n_buckets=8, max_segments=3, n_groups=4,
+    )
+    assert _file_mtimes(shuffled_dir) == before_shuffle, (
+        "resume re-ran the wide shuffle pass"
+    )
+    for p, m in before_extract.items():
+        assert _file_mtimes(committed_extract).get(p) == m, (
+            f"committed extract group rewritten: {p}"
+        )
+    led = read_ledger(spark, layout)
+    assert led.filter(F.col("stage") == "extract").count() == 4
+    build_index(spark, tiny_corpus, d_clean, n_buckets=8, max_segments=3, n_groups=4)
+    assert _index_content(spark, d_interrupted) == _index_content(spark, d_clean)
+
+
 def test_rerun_of_published_index_is_noop_fast(spark, built_index, tiny_corpus):
     """A fully-committed build re-run must skip all segment groups."""
     index_dir, manifest = built_index
