@@ -1,3 +1,11 @@
-from .ingest import stream_ingest_once, finalize_streamed_index
+from .ingest import (
+    compact_streamed_index,
+    finalize_streamed_index,
+    stream_ingest_once,
+)
 
-__all__ = ["stream_ingest_once", "finalize_streamed_index"]
+__all__ = [
+    "stream_ingest_once",
+    "finalize_streamed_index",
+    "compact_streamed_index",
+]

@@ -124,33 +124,11 @@ def stream_ingest_once(spark: SparkSession, source_dir: str, index_dir: str,
     return epochs["n"]
 
 
-def finalize_streamed_index(spark: SparkSession, index_dir: str,
-                            max_segments: int = 5,
-                            build_id: str = "stream0") -> dict:
-    """Merge all streamed level-0 segments and atomically (re)publish —
-    the force-merge + refresh-restore lifecycle step (D3/D5)."""
-    layout = IndexLayout(index_dir, build_id)
-    # Segment assignment must not depend on a fixed bucket count (epochs
-    # keep adding effective buckets), so merge with modulo placement.
-    l0 = spark.read.parquet(layout.postings_l0)
-    merged = (
-        l0.withColumn("segment", (F.col("bucket") % max_segments).cast("int"))
-        .withColumn(
-            "block_id",
-            (F.col("bucket").cast("long") * F.lit(1 << 20)) + F.col("block_id"),
-        )
-        .sortWithinPartitions("segment", "term", "doc_id_lo")
-        .drop("bucket", "group")
-    )
-    from ..build import POSTINGS_ROW_GROUP_BYTES
-
-    (
-        merged.write.mode("overwrite")
-        .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
-        .partitionBy("segment")
-        .parquet(layout.postings)
-    )
-
+def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
+                       max_segments: int, consolidation_shift: int) -> dict:
+    """Rebuild dictionary + corpus stats from the published postings and
+    atomically (re)publish the manifest — shared by finalize (cheap,
+    unconsolidated) and compaction (full tail consolidation)."""
     postings = spark.read.parquet(layout.postings)
     (
         postings.groupBy("term")
@@ -174,9 +152,70 @@ def finalize_streamed_index(spark: SparkSession, index_dir: str,
             "codec_version": 1,
             "analyzer_version": "escp-spark-analyzer-1",
             "input_snapshot": "streaming",
-            # Modulo segment placement (open-ended epoch buckets) is not
-            # docid-contiguous, so tails stay unconsolidated and every
-            # block remains inside one effective bucket.
-            "consolidation_shift": DOC_BUCKET_SHIFT,
+            "consolidation_shift": consolidation_shift,
         },
     )
+
+
+def finalize_streamed_index(spark: SparkSession, index_dir: str,
+                            max_segments: int = 5,
+                            build_id: str = "stream0") -> dict:
+    """Merge all streamed level-0 segments and atomically (re)publish —
+    the force-merge + refresh-restore lifecycle step (D3/D5). Cheap and
+    epoch-incremental-friendly: modulo segment placement, no tail
+    consolidation (fragmentation grows with epochs — run
+    ``compact_streamed_index`` periodically to reset it)."""
+    layout = IndexLayout(index_dir, build_id)
+    # Segment assignment must not depend on a fixed bucket count (epochs
+    # keep adding effective buckets), so merge with modulo placement.
+    l0 = spark.read.parquet(layout.postings_l0)
+    merged = (
+        l0.withColumn("segment", (F.col("bucket") % max_segments).cast("int"))
+        .withColumn(
+            "block_id",
+            (F.col("bucket").cast("long") * F.lit(1 << 20)) + F.col("block_id"),
+        )
+        .sortWithinPartitions("segment", "term", "doc_id_lo")
+        .drop("bucket", "group")
+    )
+    from ..build import POSTINGS_ROW_GROUP_BYTES
+
+    (
+        merged.write.mode("overwrite")
+        .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+        .partitionBy("segment")
+        .parquet(layout.postings)
+    )
+    # Modulo segment placement (open-ended epoch buckets) is not
+    # docid-contiguous, so tails stay unconsolidated and every block
+    # remains inside one effective bucket → prune window stays the bucket.
+    return _stats_and_publish(spark, layout, max_segments, DOC_BUCKET_SHIFT)
+
+
+def compact_streamed_index(spark: SparkSession, index_dir: str,
+                           max_segments: int = 5,
+                           build_id: str = "stream0") -> dict:
+    """Periodic epoch compaction (the missing lifecycle step for a
+    long-lived streamed index): re-merge ALL level-0 segments with
+    CONTIGUOUS segment ranges over the now-known effective-bucket space
+    and full tail consolidation, then atomically republish.
+
+    After compaction ≤1 block per (segment, term) is short, so per-term
+    fragmentation no longer grows with epoch count. Correctness:
+    effective bucket = epoch·n_buckets + bucket, so contiguous
+    effective-bucket ranges are epoch-contiguous docid ranges, and the
+    batch merge's window proof applies unchanged at prune_shift =
+    DOC_BUCKET_SHIFT + seg_shift (a consolidated block never crosses a
+    segment boundary). Future epochs append NEW effective buckets;
+    finalize/compact re-derive the published layout from level-0, so
+    compaction is a pure re-layout — idempotent and repeatable."""
+    from ..build import merge_segments
+
+    layout = IndexLayout(index_dir, build_id)
+    l0 = spark.read.parquet(layout.postings_l0)
+    n_eff = int(l0.agg(F.max("bucket")).first()[0] or 0) + 1
+    prune_shift = merge_segments(
+        spark, layout, n_buckets=n_eff, max_segments=max_segments,
+        merge_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return _stats_and_publish(spark, layout, max_segments, prune_shift)

@@ -83,6 +83,64 @@ def test_stream_ingest_matches_batch_build(spark, stream_source, tmp_path):
     assert got_s == got_b
 
 
+def test_stream_compaction_consolidates_and_preserves_results(
+    spark, stream_source, tmp_path
+):
+    """Epoch compaction: after many epochs, compact_streamed_index must
+    leave ≤1 short block per (segment, term) (the batch-merge D5
+    invariant), advertise the coarsened prune window, and leave query
+    results bit-identical to the uncompacted index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from escp_spark.codec import BLOCK_SIZE
+    from escp_spark.sources.tables import IndexLayout, load_manifest
+    from escp_spark.streaming import compact_streamed_index
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    idx = str(tmp_path / "compact_idx")
+    stream_ingest_once(spark, stream_source, idx, schema, n_buckets=4)
+    finalize_streamed_index(spark, idx, max_segments=3)
+    queries = [
+        {"query_id": 0, "query_text": "t00000", "k": 10},
+        {"query_id": 1, "query_text": "t00000 t09500", "k": 10},
+        {"query_id": 2, "query_text": "t00001 t00200", "k": 5},
+    ]
+    before = [(r["query_id"], r["rank"], r["doc_url"], round(r["score"], 9))
+              for r in search_topk(idx, queries)]
+    layout = IndexLayout(idx, "stream0")
+    p = spark.read.parquet(layout.postings)
+    frag_before = (
+        p.filter(F.col("n") < BLOCK_SIZE).groupBy("segment", "term")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert frag_before > 0, "corpus too small to fragment — weak test"
+
+    manifest = compact_streamed_index(spark, idx, max_segments=3)
+    assert manifest["consolidation_shift"] > 40
+    p = spark.read.parquet(layout.postings)
+    frag = (
+        p.filter(F.col("n") < BLOCK_SIZE).groupBy("segment", "term")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert frag == 0, f"{frag} (segment, term) groups still fragmented"
+    s = manifest["consolidation_shift"]
+    bad = p.filter(
+        F.shiftright(F.col("doc_id_lo"), s) != F.shiftright(F.col("doc_id_hi"), s)
+    ).count()
+    assert bad == 0
+    assert load_manifest(idx)["consolidation_shift"] == s
+    after = [(r["query_id"], r["rank"], r["doc_url"], round(r["score"], 9))
+             for r in search_topk(idx, queries)]
+    assert after == before
+
+
 def test_stream_restart_skips_ingested(spark, stream_source, tmp_path):
     """Restart safety: a second drain over the same source must ingest
     nothing new (streaming checkpoint = the scroll-continuation analog,
