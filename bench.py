@@ -90,14 +90,29 @@ def main():
         search_topk_spark(spark, index_dir, qset).collect()
         timings["bm25_batch"] = time.perf_counter() - t0
 
+        import escp_spark.query as Q
+
         reader = IndexReader(index_dir)
         lat = []
+        prune_tot = {"total": 0, "pruned": 0, "bytes": 0}
         for q in qset:
             t0 = time.perf_counter()
             search_topk(index_dir, [q], reader=reader)
             lat.append(time.perf_counter() - t0)
+            st = Q.last_prune_stats
+            prune_tot["total"] += st.get("total_blocks", 0)
+            prune_tot["pruned"] += st.get("pruned_blocks", 0)
+            prune_tot["bytes"] += st.get("payload_bytes_fetched", 0)
         lat.sort()
         timings["bm25_serving_p50"] = lat[len(lat) // 2]
+        # p99 over the set = the hot-term queries (VERDICT r02 #8).
+        timings["bm25_serving_p99"] = lat[min(int(len(lat) * 0.99), len(lat) - 1)]
+        extras = {
+            "serving_pruned_block_ratio": round(
+                prune_tot["pruned"] / max(prune_tot["total"], 1), 3
+            ),
+            "serving_payload_bytes_fetched": prune_tot["bytes"],
+        }
 
         for name in ("tpch_q1", "term_df_stats", "ann_cosine"):
             fn = entrymod.queries()[name]
@@ -125,7 +140,7 @@ def main():
         t0 = time.perf_counter()
         minhash_signatures(docs_df).count()
         timings["minhash_sigs"] = time.perf_counter() - t0
-        return timings, manifest["n_docs"]
+        return timings, manifest["n_docs"], extras
 
     # This sandbox's shared microVM host serializes concurrent
     # first-touch page faults in unpredictable bursts (BENCH.md
@@ -134,9 +149,9 @@ def main():
     # reproducible steady-state number; single samples are lottery
     # tickets. Set SPARK_GRAFT_REPEATS=1 for the old single-shot.
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
-    best, n_docs = {}, 0
+    best, n_docs, extras = {}, 0, {}
     for _ in range(repeats):
-        timings, n_docs = run_once()
+        timings, n_docs, extras = run_once()
         for k, v in timings.items():
             best[k] = min(best.get(k, v), v)
 
@@ -153,6 +168,7 @@ def main():
                 "docs_per_sec": round(n_docs / best["index_build"], 1),
                 "cpus": cpus,
                 "repeats": repeats,
+                **extras,
             }
         )
     )

@@ -367,6 +367,11 @@ class SimulatedFailure(RuntimeError):
     switch (SURVEY.md §5.4)."""
 
 
+# Wall-clock per stage of the most recent build_index call (M1/M2-style
+# telemetry; bench_scaling uses it to attribute scaling loss to a stage).
+last_build_timings: dict = {}
+
+
 # --------------------------------------------------------------------------
 # Merge (D5 force-merge analog — esindex/optimize.go:13-28: postings get
 # CONTIGUOUS, not just concatenated)
@@ -394,54 +399,131 @@ def _seg_shift(n_buckets: int, max_segments: int) -> int:
     return shift
 
 
-def _consolidate_tail_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Re-block one hash-of-term group's tail fragments.
+def _consolidate_tails_arrow(batches):
+    """Re-block one partition's tail fragments — Arrow-native mapInArrow
+    kernel (zero per-row Python objects; the earlier applyInPandas
+    version materialized ~5M python str/bytes objects per 500k-doc merge
+    and spent ~50 s in object churn — measured 48 s → ~3 s).
 
-    Input: every tail block (n < BLOCK_SIZE) of the terms hashing into
-    this group, across all (segment, term). For each (segment, term)
-    with ≥2 tails: bulk-decode, concatenate (already docid-sorted —
-    tails are ≤1 per source bucket and bucket docid ranges are disjoint
-    and ordered), re-encode into ⌈total/BLOCK_SIZE⌉ contiguous blocks —
-    afterwards ≤1 block per (segment, term) has n < BLOCK_SIZE.
-    Single-tail groups pass through untouched (already consolidated).
+    Input: every tail block (n < BLOCK_SIZE) of the terms hash-routed to
+    this partition, across all (segment, term). For each (segment, term)
+    with ≥2 tails: bulk-decode straight from the Arrow binary buffers
+    (the values of a combined BinaryArray are already back-to-back, so
+    the codec's concatenated-stream decode needs no per-block bytes),
+    concatenate (already docid-sorted — tails are ≤1 per source bucket
+    and bucket docid ranges are disjoint and ordered), re-encode into
+    ⌈total/BLOCK_SIZE⌉ contiguous blocks — afterwards ≤1 block per
+    (segment, term) has n < BLOCK_SIZE. Single-tail groups pass through
+    as an Arrow take, untouched.
 
     Bounded regardless of corpus size: a term has ≤1 tail per bucket, so
-    this group holds ≤ n_buckets × (BLOCK_SIZE−1) postings per term."""
-    pdf = pdf.sort_values(
-        ["segment", "term", "doc_id_lo"], kind="mergesort"
-    ).reset_index(drop=True)
-    key = pd.Series(list(zip(pdf["segment"], pdf["term"])), index=pdf.index)
-    sizes = key.map(key.value_counts())
-    singles = pdf.loc[sizes == 1, _MERGED_COLS]
-    multi = pdf.loc[sizes > 1].reset_index(drop=True)
-    if multi.empty:
-        return singles
-    ids, tfs, dls, blk = decode_blocks_bulk(
-        list(multi["doc_ids"]), list(multi["tfs"]), list(multi["dls"]),
-        multi["n"].to_numpy(),
+    a term contributes ≤ n_buckets × (BLOCK_SIZE−1) postings; size
+    n_tgrp so a partition's tails fit executor memory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batch_list = list(batches)
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list).select(_MERGED_COLS)
+    n_rows = tbl.num_rows
+    if n_rows == 0:
+        return
+    tbl = tbl.sort_by(
+        [("segment", "ascending"), ("term", "ascending"),
+         ("doc_id_lo", "ascending")]
+    ).combine_chunks()
+    seg = tbl.column("segment").to_numpy()
+    term = tbl.column("term").chunk(0)
+    if n_rows == 1:
+        new_grp = np.array([True])
+    else:
+        tneq = pc.not_equal(
+            term.slice(1), term.slice(0, n_rows - 1)
+        ).to_numpy(zero_copy_only=False)
+        new_grp = np.concatenate(([True], (seg[1:] != seg[:-1]) | tneq))
+    grp_id = np.cumsum(new_grp) - 1
+    multi = np.bincount(grp_id)[grp_id] > 1
+    singles = np.flatnonzero(~multi)
+    if singles.size:
+        yield from tbl.take(pa.array(singles)).to_batches()
+    midx = np.flatnonzero(multi)
+    if midx.size == 0:
+        return
+    sub = tbl.take(pa.array(midx)).combine_chunks()
+    ns = sub.column("n").to_numpy()
+
+    def offsets_and_data(name: str):
+        arr = sub.column(name).chunk(0)
+        bufs = arr.buffers()
+        wide = pa.types.is_large_binary(arr.type)
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int64 if wide else np.int32,
+            count=len(arr) + 1, offset=arr.offset * (8 if wide else 4),
+        )
+        return offs, memoryview(bufs[2])
+
+    payloads = [offsets_and_data(c) for c in ("doc_ids", "tfs", "dls")]
+    sub_grp = grp_id[midx]  # nondecreasing
+    bump = sub_grp[1:] != sub_grp[:-1]
+    codes = np.cumsum(np.concatenate(([0], bump.astype(np.int64))))
+    starts = np.flatnonzero(np.concatenate(([True], bump)))
+
+    # Chunk decode+re-encode at GROUP boundaries, ~64k postings per
+    # chunk: keeps every temporary a couple of MB and arena-reusable —
+    # the one-shot whole-partition variant allocated ~100 MB of fresh
+    # pages per task and this host's first-touch fault storm made the
+    # arithmetic irrelevant (27.9 s cold vs 0.96 s warm, measured; same
+    # pathology and fix as the minhash kernel — see CLAUDE.md).
+    row_off = np.concatenate(([0], np.cumsum(ns)))
+    g_bounds = np.append(starts, len(midx))
+    g_pair_start = row_off[g_bounds[:-1]]
+    chunk_of_group = g_pair_start // (1 << 16)
+    seg_sub = seg[midx]
+    term_sub = sub.column("term").chunk(0)
+    out_meta: dict[str, list] = {k: [] for k in (
+        "segment_src", "block_id", "n", "doc_id_lo", "doc_id_hi",
+        "max_tf", "min_dl", "sum_tf",
+    )}
+    out_bufs: dict[str, list] = {"doc_ids": [], "tfs": [], "dls": []}
+    for c in np.unique(chunk_of_group):
+        gsel = np.flatnonzero(chunk_of_group == c)
+        r0, r1 = g_bounds[gsel[0]], g_bounds[gsel[-1] + 1]
+        ids, tfs, dls, blk = decode_blocks_bulk(
+            *(data[offs[r0]:offs[r1]] for offs, data in payloads),
+            ns[r0:r1],
+        )
+        enc = encode_posting_frame(
+            (codes[r0:r1] - codes[r0])[blk], ids, tfs, dls
+        )
+        out_meta["segment_src"].append(starts[enc["term_code"] + codes[r0]])
+        for k in ("block_id", "n", "doc_id_lo", "doc_id_hi",
+                  "max_tf", "min_dl", "sum_tf"):
+            out_meta[k].append(enc[k])
+        for k in out_bufs:
+            out_bufs[k].extend(enc[k])
+    src = np.concatenate(out_meta["segment_src"])
+
+    def cat(k):
+        return np.concatenate(out_meta[k])
+
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(seg_sub[src].astype(np.int32), pa.int32()),
+            term_sub.take(pa.array(src)),
+            pa.array(CONSOLIDATED_BLOCK_BASE + cat("block_id"), pa.int64()),
+            pa.array(cat("n").astype(np.int32), pa.int32()),
+            pa.array(cat("doc_id_lo"), pa.int64()),
+            pa.array(cat("doc_id_hi"), pa.int64()),
+            pa.array(cat("max_tf").astype(np.int32), pa.int32()),
+            pa.array(cat("min_dl").astype(np.int32), pa.int32()),
+            pa.array(cat("sum_tf"), pa.int64()),
+            pa.array(out_bufs["doc_ids"], sub.column("doc_ids").chunk(0).type),
+            pa.array(out_bufs["tfs"], sub.column("tfs").chunk(0).type),
+            pa.array(out_bufs["dls"], sub.column("dls").chunk(0).type),
+        ],
+        names=_MERGED_COLS,
     )
-    codes, uniq = pd.factorize(
-        pd.Series(list(zip(multi["segment"], multi["term"])))
-    )  # sorted input → codes nondecreasing; ids within a code are sorted
-    enc = encode_posting_frame(codes[blk], ids, tfs, dls)
-    seg_term = uniq[enc["term_code"]]
-    reblocked = pd.DataFrame(
-        {
-            "segment": [int(s) for s, _ in seg_term],
-            "term": [t for _, t in seg_term],
-            "block_id": CONSOLIDATED_BLOCK_BASE + enc["block_id"],
-            "n": enc["n"],
-            "doc_id_lo": enc["doc_id_lo"],
-            "doc_id_hi": enc["doc_id_hi"],
-            "max_tf": enc["max_tf"],
-            "min_dl": enc["min_dl"],
-            "sum_tf": enc["sum_tf"],
-            "doc_ids": enc["doc_ids"],
-            "tfs": enc["tfs"],
-            "dls": enc["dls"],
-        }
-    )
-    return pd.concat([singles, reblocked[_MERGED_COLS]], ignore_index=True)
 
 
 def merge_segments(
@@ -517,13 +599,12 @@ def merge_segments(
         full = base.filter(F.col("n") == BLOCK_SIZE).select(*_MERGED_COLS)
         tails = base.filter(F.col("n") < BLOCK_SIZE)
         n_tgrp = max(merge_parallelism * 2, 8)
-        consolidated = (
-            tails.withColumn(
-                "tgrp", F.pmod(F.xxhash64("term"), F.lit(n_tgrp))
-            )
-            .groupBy("tgrp")
-            .applyInPandas(_consolidate_tail_group, MERGED_SCHEMA)
-        )
+        # All tails of a term hash to ONE partition (repartition on the
+        # term column), so the Arrow kernel sees every fragment of each
+        # (segment, term) together.
+        consolidated = tails.select(*_MERGED_COLS).repartition(
+            n_tgrp, "term"
+        ).mapInArrow(_consolidate_tails_arrow, MERGED_SCHEMA)
         merged = full.unionByName(consolidated)
     else:
         merged = base.select(*_MERGED_COLS)
@@ -648,6 +729,17 @@ def build_index(
     )
     merge_parallelism = merge_parallelism or spark.sparkContext.defaultParallelism
 
+    import time as _time
+
+    last_build_timings.clear()
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str):
+        nonlocal _t0
+        now = _time.perf_counter()
+        last_build_timings[stage] = round(now - _t0, 3)
+        _t0 = now
+
     shuffled_dir = os.path.join(layout.staging, "shuffled")
     extracted_dir = os.path.join(layout.staging, "extracted")
 
@@ -712,6 +804,8 @@ def build_index(
         )
         log.info("shuffle stage already committed — skipping (resume)")
 
+    _mark("shuffle")
+
     # ---- Stage "extract": per-group Arrow-UDF html→text extraction —
     # group-scoped idempotent writes + a ledger commit per group (the
     # esscroll.go:129 per-page checkpoint analog, now covering the most
@@ -761,6 +855,8 @@ def build_index(
             raise SimulatedFailure(
                 f"killed after {run_count} extract groups (test)"
             )
+
+    _mark("extract")
 
     # ---- Stage "segment": per-group docmap + level-0 segment build,
     # idempotent group-scoped writes, ledger commit per group.
@@ -841,12 +937,15 @@ def build_index(
         for g in pending:
             _run_group(g)
 
+    _mark("segment")
+
     # ---- Finalize (idempotent overwrites): merge, dictionary, stats,
     # atomic manifest publish (D3/B11).
     prune_shift = merge_segments(
         spark, layout, n_buckets, max_segments, merge_parallelism,
         row_group_bytes=postings_row_group_bytes,
     )
+    _mark("merge")
 
     postings = spark.read.parquet(layout.postings)
     (
@@ -881,6 +980,7 @@ def build_index(
             "consolidation_shift": prune_shift,
         },
     )
+    _mark("finalize")
     log.info("published index: %d docs, avgdl=%.2f", n_docs, avgdl)
     return manifest
 

@@ -203,21 +203,32 @@ def encode_posting_frame(
     }
 
 
+def _as_stream(bufs):
+    """A list of per-block byte strings, or an already-concatenated
+    buffer (bytes/memoryview — e.g. the values buffer of an Arrow
+    BinaryArray, whose payloads are back-to-back)."""
+    if isinstance(bufs, (bytes, bytearray, memoryview)):
+        return bufs
+    return b"".join(bufs)
+
+
 def decode_blocks_bulk(id_bufs, tf_bufs, dl_bufs, ns):
     """Decode MANY blocks in one vectorized pass.
 
-    Returns (doc_ids, tfs, dls, block_index) where block_index maps each
-    decoded element back to its source block ordinal. The delta cumsum is
-    computed globally and re-based per block — no per-block Python.
+    Each stream may be a list of per-block buffers OR one concatenated
+    buffer (see _as_stream). Returns (doc_ids, tfs, dls, block_index)
+    where block_index maps each decoded element back to its source block
+    ordinal. The delta cumsum is computed globally and re-based per
+    block — no per-block Python.
     """
     ns = np.asarray(ns, dtype=np.int64)
     total = int(ns.sum())
     if total == 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e, e, np.empty(0, dtype=np.int64)
-    deltas = varint_decode(b"".join(id_bufs), total)
-    tfs = varint_decode(b"".join(tf_bufs), total)
-    dls = varint_decode(b"".join(dl_bufs), total)
+    deltas = varint_decode(_as_stream(id_bufs), total)
+    tfs = varint_decode(_as_stream(tf_bufs), total)
+    dls = varint_decode(_as_stream(dl_bufs), total)
     starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
     c = np.cumsum(deltas, dtype=np.uint64)
     c_before = np.concatenate(([np.uint64(0)], c[:-1]))
