@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .analyzer import ANALYZER_VERSION, extract_text, tokenize
+from .functions.fmt import iec_format
 from .codec import (
     BLOCK_SIZE,
     CODEC_VERSION,
@@ -92,6 +93,11 @@ POSTINGS_ROW_GROUP_BYTES = 8 << 20
 # Docmap is a point-lookup table at serve time (doc_id → url): small row
 # groups keep the read amplification of a ≤k-id lookup bounded.
 DOCMAP_ROW_GROUP_BYTES = 2 << 20
+
+# Bump when the PHYSICAL index layout changes (row-group sizing, term
+# placement) — distinct from codec_version (block byte format). Cached
+# indexes with an older layout are rebuilt, not silently served.
+INDEX_LAYOUT_VERSION = 2
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -575,12 +581,14 @@ def merge_segments(
     measured 5-8× worse serving p50.) Placement is driven by the B8
     df-stats pass (block counts per term from level-0 metadata), NOT by
     repartitionByRange's sampling job. Terms above ``hot_term_blocks``
-    (default: total_blocks / merge_parallelism / 2) are classified hot
-    and spread across the partition space by source-bucket position, so
-    the hottest term's postings land in ~merge_parallelism files instead
-    of one straggler task/file — estypes.go:104-116's skew heuristic,
-    wired into placement. The right choice at 10^12-doc scale where
-    file-count per segment matters; overkill at bench scale.
+    (default 4096 blocks — an absolute work-unit bound, see the inline
+    rationale; top-4P by block count so the list stays driver-sized)
+    are classified hot and spread across the partition space by
+    source-bucket position, so the hottest term's postings land in
+    ~merge_parallelism files instead of one straggler task/file —
+    estypes.go:104-116's skew heuristic, wired into placement. The
+    right choice at 10^12-doc scale where file-count per segment
+    matters; overkill at bench scale.
     """
     seg_shift = _seg_shift(n_buckets, max_segments)
     l0 = spark.read.parquet(layout.postings_l0)
@@ -615,12 +623,25 @@ def merge_segments(
         # the shuffle.
         stats = l0.groupBy("term").agg(F.count("*").alias("nblocks")).persist()
         total_blocks = stats.agg(F.sum("nblocks")).first()[0] or 0
-        hot_cut = hot_term_blocks or max(
-            total_blocks / max(merge_parallelism, 1) / 2, 64
-        )
-        # Hot list is bounded by construction: < total/hot_cut ≈ 2·P terms.
+        # A cold term must be a BOUNDED work unit for every consumer —
+        # one merge task, one batch-scoring task (its whole list lands in
+        # one file = one input split), one serving metadata read. The cut
+        # is therefore absolute work size (4096 blocks ≈ 0.5M postings ≈
+        # ~5 MB payload), not a fraction of the corpus: the old
+        # total/P/2 cut classified a 1M-posting term as cold at 2M docs,
+        # and its single-file placement made one straggler task decode
+        # the hottest query term's entire list in the batch path
+        # (measured: query N→4N scaling 0.36). The hot list stays
+        # driver-sized via top-(4P): residual terms beyond it are at
+        # most as big as the (4P+1)-th hottest — under any Zipf-ish law
+        # the fat head is covered.
+        hot_cut = hot_term_blocks or 4096
         hot_terms = [
-            r.term for r in stats.filter(F.col("nblocks") > hot_cut).collect()
+            r.term
+            for r in stats.filter(F.col("nblocks") > hot_cut)
+            .orderBy(F.col("nblocks").desc(), "term")
+            .limit(4 * max(merge_parallelism, 1))
+            .collect()
         ]
         # Cold terms get CONTIGUOUS, block-balanced term ranges (not a
         # hash): a query term then lives in ONE file per segment and the
@@ -895,7 +916,10 @@ def build_index(
                 }
             ],
         )
-        log.info("group %d committed: %d docs, %d segment bytes", g, docs_g, bytes_g)
+        log.info(
+            "group %d committed: %d docs, %s of segments",
+            g, docs_g, iec_format(bytes_g),
+        )
 
     pending = [g for g in range(n_groups) if g not in done]
     if len(done):
@@ -971,6 +995,7 @@ def build_index(
             "max_segments": max_segments,
             "block_size": BLOCK_SIZE,
             "codec_version": CODEC_VERSION,
+            "layout_version": INDEX_LAYOUT_VERSION,
             "analyzer_version": ANALYZER_VERSION,
             "input_snapshot": snapshot,
             "source_filter": source_filter,

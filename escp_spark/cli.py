@@ -19,6 +19,11 @@
         BM25 top-k — serving path by default, --spark for the
         distributed batch path.
 
+    python -m escp_spark.cli compact  INDEX_DIR [--maxsegs N]
+        streamed-index epoch compaction: re-merge with tail
+        consolidation over the known effective buckets + republish
+        (the periodic force-merge lifecycle step, D5).
+
     python -m escp_spark.cli tail     SOURCE [--since 2h] [--terms ...]
         [--not-terms ...] ≅ estail (cmd/estail/estail.go:22-106):
         filtered newest-first scan, anchored at max(warc_ts) in the data.
@@ -62,6 +67,11 @@ def main(argv=None):
     s.add_argument("query")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--spark", action="store_true")
+
+    c = sub.add_parser("compact")
+    c.add_argument("index_dir")
+    c.add_argument("--maxsegs", type=int, default=5)
+    c.add_argument("--build-id", default="stream0")
 
     t = sub.add_parser("tail")
     t.add_argument("source")
@@ -118,6 +128,26 @@ def main(argv=None):
                 n_buckets=args.buckets, max_segments=args.maxsegs,
                 n_groups=args.groups, build_id=args.build_id,
                 source_filter=args.filter,
+            )
+            from .build import _dir_bytes
+            from .functions.fmt import iec_format
+
+            # Human progress summary on stderr (M1/M3 — the esscroll
+            # progress-line analog); machine-readable manifest on stdout.
+            print(
+                f"indexed {manifest['n_docs']} docs, "
+                f"{iec_format(_dir_bytes(args.index_dir))} on disk",
+                file=sys.stderr,
+            )
+            print(json.dumps(manifest))
+            return 0
+
+        if args.cmd == "compact":
+            from .streaming import compact_streamed_index
+
+            manifest = compact_streamed_index(
+                spark, args.index_dir, max_segments=args.maxsegs,
+                build_id=args.build_id,
             )
             print(json.dumps(manifest))
             return 0

@@ -84,10 +84,13 @@ def ensure_documents_index(
     )
     try:
         m = load_manifest(index_dir)
+        from .build import INDEX_LAYOUT_VERSION
+
         if (
             m.get("input_snapshot") == fp
             and m.get("n_buckets") == n_buckets
             and m.get("max_segments") == max_segments
+            and m.get("layout_version") == INDEX_LAYOUT_VERSION
         ):
             return index_dir
     except Exception:

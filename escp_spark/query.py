@@ -2,15 +2,17 @@
 
 Two execution paths, both rank-identical to the exhaustive oracle:
 
-1. **Serving path** (`search_topk`): latency-oriented, reads posting
-   blocks for the query terms straight from the segment Parquet via
-   pyarrow dataset filters (term-sorted files → row-group pruning is the
-   dictionary-seek analog), scores in numpy with **block-max pruning**:
-   a seeded lower bound θ of the kth score prunes every block whose
-   docid-range score envelope (block ub + Σ other-term max ub) stays
-   below θ — a vectorized MaxScore/Block-Max-WAND family algorithm with a
-   correctness proof in `_prune_and_score`'s docstring. This is what a
-   query node would run per request; Spark is not in the request path.
+1. **Serving path** (`search_topk`): latency-oriented, METADATA-FIRST —
+   the footer-built row-group index (term min/max per row group, the
+   dictionary-seek analog) locates the query terms' stats columns, the
+   WAND envelope pruning runs on stats alone, and payload bytes are
+   fetched per row group only for KEPT blocks; scoring is numpy with
+   **block-max pruning**: a seeded lower bound θ of the kth score prunes
+   every block whose docid-range score envelope (block ub + Σ other-term
+   max ub) stays below θ — a vectorized MaxScore/Block-Max-WAND family
+   algorithm with a correctness proof in `_prune_and_score`'s docstring.
+   This is what a query node would run per request; Spark is not in the
+   request path.
 
 2. **Batch path** (`search_topk_spark`): throughput-oriented, runs a whole
    query set as one distributed DataFrame job — term-pushdown scan of
@@ -27,7 +29,6 @@ is independent of internal docid assignment and of parallelism.
 
 from __future__ import annotations
 
-import math
 from collections import Counter, defaultdict
 
 import numpy as np
@@ -35,7 +36,7 @@ import pandas as pd
 import pyarrow.dataset as pads
 
 from .analyzer import tokenize
-from .codec import decode_block, decode_blocks_bulk
+from .codec import decode_blocks_bulk
 from .functions.bm25 import bm25_contrib, bm25_upper_bound, idf_lucene
 from .sources.tables import load_manifest
 
@@ -701,7 +702,7 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     cand_ids = [r.doc_id for r in cand.select("doc_id").distinct().collect()]
     docmap = (
         spark.read.parquet(paths["docmap"])
-        .filter(F.col("doc_id").isin(cand_ids))
+        .filter(F.col("doc_id").isin(cand_ids) if cand_ids else F.lit(False))
         .select("doc_id", "url")
     )
     joined = docmap.join(F.broadcast(cand), "doc_id")

@@ -150,6 +150,7 @@ def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
             "max_segments": max_segments,
             "block_size": 128,
             "codec_version": 1,
+            "layout_version": 2,
             "analyzer_version": "escp-spark-analyzer-1",
             "input_snapshot": "streaming",
             "consolidation_shift": consolidation_shift,

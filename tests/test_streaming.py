@@ -141,6 +141,33 @@ def test_stream_compaction_consolidates_and_preserves_results(
     assert after == before
 
 
+def test_cli_compact_surface(spark, stream_source, tmp_path, capsys):
+    """`cli compact` republished manifest reaches stdout as JSON and the
+    compacted index still serves (the operational lifecycle surface)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from escp_spark.cli import main as cli_main
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    idx = str(tmp_path / "cli_compact_idx")
+    stream_ingest_once(spark, stream_source, idx, schema, n_buckets=4)
+    finalize_streamed_index(spark, idx, max_segments=3)
+    rc = cli_main(["compact", idx, "--maxsegs", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    manifest = json.loads(out)
+    assert manifest["consolidation_shift"] > 40
+    assert search_topk(idx, [{"query_id": 0, "query_text": "t00000", "k": 3}])
+
+
 def test_stream_restart_skips_ingested(spark, stream_source, tmp_path):
     """Restart safety: a second drain over the same source must ingest
     nothing new (streaming checkpoint = the scroll-continuation analog,

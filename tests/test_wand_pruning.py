@@ -118,6 +118,18 @@ def test_payload_io_pruned(spark, big_index, tmp_path_factory):
     assert 0 < st["payload_bytes_fetched"] < total_bytes, (st, total_bytes)
 
 
+def test_dictionary_fallback_scan_matches_cache(big_index):
+    """When the term dictionary exceeds the RAM cap, term_dfs falls back
+    to a filtered scan — both paths must agree."""
+    _, idx = big_index
+    cached = IndexReader(idx)
+    scanning = IndexReader(idx)
+    scanning._DICT_CACHE_MAX_ROWS = 0  # force the too-big path
+    terms = ["t00000", "t00123", "t09500", "zzzznotaword"]
+    assert cached.term_dfs(terms) == scanning.term_dfs(terms)
+    assert scanning._dict_cache == {}  # sentinel, not a populated cache
+
+
 def test_single_term_hot_query_correct(big_index, big_oracle):
     _, idx = big_index
     got = search_topk(idx, [{"query_id": 0, "query_text": "t00000", "k": 5}])
