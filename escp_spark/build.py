@@ -618,11 +618,9 @@ def merge_segments(
         merged = base.select(*_MERGED_COLS)
     if physical == "range":
         # One aggregation pass over the level-0 block metadata; the
-        # vocab-sized result is persisted so the four derivations below
-        # (total, hot list, cold total, range bounds) don't each redo
-        # the shuffle.
+        # vocab-sized result is persisted so the two derivations below
+        # (hot list, range bounds) don't each redo the shuffle.
         stats = l0.groupBy("term").agg(F.count("*").alias("nblocks")).persist()
-        total_blocks = stats.agg(F.sum("nblocks")).first()[0] or 0
         # A cold term must be a BOUNDED work unit for every consumer —
         # one merge task, one batch-scoring task (its whole list lands in
         # one file = one input split), one serving metadata read. The cut
@@ -657,15 +655,22 @@ def merge_segments(
         cold = (
             stats.filter(~F.col("term").isin(hot_terms)) if hot_terms else stats
         )
-        total_cold = cold.agg(F.sum("nblocks")).first()[0] or 0
-        per_part = max(1.0, total_cold / max(merge_parallelism, 1))
+        # Per-partition block budget (total_cold / P) computed inside the
+        # same window job as the cumulative sum — one driver round, not
+        # three.
         wv = Window.orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
+        wv_all = Window.orderBy("term").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        per_part = F.greatest(
+            F.sum("nblocks").over(wv_all) / F.lit(max(merge_parallelism, 1)),
+            F.lit(1.0),
+        )
         bounds = sorted(
             r.t0
             for r in cold.withColumn("cum", F.sum("nblocks").over(wv))
             .withColumn(
-                "p",
-                F.floor((F.col("cum") - F.col("nblocks")) / F.lit(per_part)),
+                "p", F.floor((F.col("cum") - F.col("nblocks")) / per_part)
             )
             .groupBy("p")
             .agg(F.min("term").alias("t0"))
