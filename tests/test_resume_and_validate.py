@@ -96,7 +96,7 @@ def test_resume_mid_extract_skips_committed_groups(spark, tiny_corpus, tmp_path)
 
     build_index(
         spark, tiny_corpus, d_interrupted,
-        n_buckets=8, max_segments=3, n_groups=4,
+        n_buckets=8, max_segments=3, n_groups=4, extract_mode="staged",
     )
     assert _file_mtimes(shuffled_dir) == before_shuffle, (
         "resume re-ran the wide shuffle pass"

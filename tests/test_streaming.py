@@ -168,6 +168,88 @@ def test_cli_compact_surface(spark, stream_source, tmp_path, capsys):
     assert search_topk(idx, [{"query_id": 0, "query_text": "t00000", "k": 3}])
 
 
+def test_stream_epoch_dedup_is_bloom_pruned(spark, stream_source, tmp_path):
+    """VERDICT r03 wrong-#2: the per-epoch append-only dedup must NOT
+    full-scan the docmap every micro-batch. With disjoint epochs (the
+    common case) the bloom classifies every row definitely-new and the
+    docmap read is skipped outright."""
+    from pyspark.sql import types as T
+
+    import escp_spark.streaming.ingest as ing
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    idx = str(tmp_path / "bloom_idx")
+    n = stream_ingest_once(spark, stream_source, idx, schema, n_buckets=4)
+    assert n >= 2
+    # Last epoch ran with a prior docmap present; its urls are disjoint
+    # → bloom says "new" for all (false-positive odds at 16 bits/url
+    # over a few hundred urls are ~0) → docmap read skipped.
+    assert ing.last_dedup_stats["docmap_verify"] == "skipped"
+    assert ing.last_dedup_stats["maybe_hits"] == 0
+    assert os.path.exists(os.path.join(idx, "url_bloom.npz"))
+
+
+def test_stream_overlapping_batch_drops_dups_via_pruned_verify(
+    spark, stream_source, tmp_path
+):
+    """True cross-epoch duplicates: bloom maybe-hits are verified with
+    an isin-pruned docmap anti-join; dups are dropped, new urls kept."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    import escp_spark.streaming.ingest as ing
+    from escp_spark.sources.tables import IndexLayout
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    # Private copy of the source dir (the streaming checkpoint pins the
+    # source path, and the shared fixture must not gain files).
+    import shutil
+
+    src = tmp_path / "overlap_src"
+    src.mkdir()
+    for f in glob.glob(os.path.join(stream_source, "*.parquet")):
+        shutil.copy(f, str(src))
+    idx = str(tmp_path / "overlap_idx")
+    stream_ingest_once(spark, str(src), idx, schema, n_buckets=4)
+    layout = IndexLayout(idx, "stream0")
+    n_before = spark.read.parquet(layout.docmap).count()
+
+    # New arrival: half duplicates of already-ingested urls, half new.
+    first = pq.read_table(sorted(glob.glob(str(src / "*.parquet")))[0])
+    dup_half = first.slice(0, 50)
+    pdf = dup_half.to_pandas()
+    new_pdf = pdf.copy()
+    new_pdf["url"] = ["https://new.example/%d" % i for i in range(len(new_pdf))]
+    both = pa.concat_tables([
+        dup_half,
+        pa.Table.from_pandas(new_pdf, preserve_index=False).cast(
+            dup_half.schema
+        ),
+    ])
+    pq.write_table(both, str(src / "zz_more.parquet"))
+
+    n_epochs = stream_ingest_once(spark, str(src), idx, schema, n_buckets=4)
+    assert n_epochs == 1
+    assert ing.last_dedup_stats["maybe_hits"] >= 50
+    assert ing.last_dedup_stats["docmap_verify"] == "isin_pruned"
+    dm = spark.read.parquet(layout.docmap)
+    assert dm.count() == n_before + 50, "dups must be dropped, new kept"
+    assert dm.select("url").distinct().count() == n_before + 50
+
+
 def test_stream_restart_skips_ingested(spark, stream_source, tmp_path):
     """Restart safety: a second drain over the same source must ingest
     nothing new (streaming checkpoint = the scroll-continuation analog,
