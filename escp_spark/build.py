@@ -582,6 +582,27 @@ def _consolidate_tails_arrow(batches):
     )
 
 
+# Vocabulary size up to which the merge-placement stats are computed on
+# the driver in pandas (one Spark job — the limit-collect — instead of
+# the persist + three jobs of the distributed path). 1M terms ≈ 30 MB:
+# trivially driver-sized, and most corpora below Common-Crawl scale fit.
+_PLACEMENT_DRIVER_MAX_TERMS = 1_000_000
+
+
+def _bounds_pandas(cold: pd.DataFrame, merge_parallelism: int) -> list[str]:
+    """Driver-side reference of the cold-term bounds (identical formula
+    to _cold_term_bounds — the distributed test asserts equality)."""
+    if not len(cold):
+        return []
+    ref = cold.sort_values("term").reset_index(drop=True)
+    cum = ref["nblocks"].cumsum()
+    per_part = max(
+        float(ref["nblocks"].sum()) / float(max(merge_parallelism, 1)), 1.0
+    )
+    p = np.floor((cum - ref["nblocks"]) / per_part)
+    return sorted(ref.groupby(p)["term"].min().tolist())
+
+
 def _cold_term_bounds(cold: DataFrame, merge_parallelism: int) -> list[str]:
     """Block-balanced contiguous term-range boundaries for cold-term
     placement: partition p starts at the first term whose cumulative
@@ -727,10 +748,9 @@ def merge_segments(
     else:
         merged = base.select(*_MERGED_COLS)
     if physical == "range":
-        # One aggregation pass over the level-0 block metadata; the
-        # vocab-sized result is persisted so the two derivations below
-        # (hot list, range bounds) don't each redo the shuffle.
-        stats = l0.groupBy("term").agg(F.count("*").alias("nblocks")).persist()
+        # One aggregation pass over the level-0 block metadata feeds both
+        # placement derivations (hot list, range bounds).
+        stats = l0.groupBy("term").agg(F.count("*").alias("nblocks"))
         # A cold term must be a BOUNDED work unit for every consumer —
         # one merge task, one batch-scoring task (its whole list lands in
         # one file = one input split), one serving metadata read. The cut
@@ -744,27 +764,53 @@ def merge_segments(
         # most as big as the (4P+1)-th hottest — under any Zipf-ish law
         # the fat head is covered.
         hot_cut = hot_term_blocks or 4096
-        hot_terms = [
-            r.term
-            for r in stats.filter(F.col("nblocks") > hot_cut)
-            .orderBy(F.col("nblocks").desc(), "term")
-            .limit(4 * max(merge_parallelism, 1))
-            .collect()
-        ]
+        n_top = 4 * max(merge_parallelism, 1)
         # Cold terms get CONTIGUOUS, block-balanced term ranges (not a
         # hash): a query term then lives in ONE file per segment and the
         # metadata-first serving reader's footer check prunes every other
         # FILE outright — with a hash each file spans the whole
         # vocabulary and a tiny index reads every row group's metadata
         # per query (measured 5-8× worse serving p50). Range boundaries
-        # come from cumulative block counts over the term-sorted stats
-        # via a DISTRIBUTED two-pass prefix sum (_cold_term_bounds);
-        # only the ~P boundary terms come back to the driver.
-        cold = (
-            stats.filter(~F.col("term").isin(hot_terms)) if hot_terms else stats
-        )
-        bounds = _cold_term_bounds(cold, merge_parallelism)
-        stats.unpersist()
+        # come from cumulative block counts over the term-sorted stats.
+        #
+        # Small-vocab fast path (≤ _PLACEMENT_DRIVER_MAX_TERMS): ONE
+        # limit-collect job, hot list + bounds in pandas on the driver —
+        # the fixed cost of the distributed derivations (~4 extra jobs)
+        # was a measurable slice of the sf0.1 merge stage. limit(N+1)
+        # returning ≤ N rows proves we saw the whole vocabulary; above
+        # the cap, the distributed two-pass prefix sum (_cold_term_bounds
+        # — byte-identical, tested) handles 10^9+-term vocabularies with
+        # no single-partition step.
+        rows = stats.limit(_PLACEMENT_DRIVER_MAX_TERMS + 1).collect()
+        if len(rows) <= _PLACEMENT_DRIVER_MAX_TERMS:
+            spdf = pd.DataFrame(
+                {"term": [r.term for r in rows],
+                 "nblocks": [r.nblocks for r in rows]}
+            )
+            hot_pdf = (
+                spdf[spdf["nblocks"] > hot_cut]
+                .sort_values(["nblocks", "term"], ascending=[False, True])
+                .head(n_top)
+            )
+            hot_terms = hot_pdf["term"].tolist()
+            bounds = _bounds_pandas(
+                spdf[~spdf["term"].isin(hot_terms)], merge_parallelism
+            )
+        else:
+            stats = stats.persist()
+            hot_terms = [
+                r.term
+                for r in stats.filter(F.col("nblocks") > hot_cut)
+                .orderBy(F.col("nblocks").desc(), "term")
+                .limit(n_top)
+                .collect()
+            ]
+            cold = (
+                stats.filter(~F.col("term").isin(hot_terms))
+                if hot_terms else stats
+            )
+            bounds = _cold_term_bounds(cold, merge_parallelism)
+            stats.unpersist()
         pos = F.shiftright(F.col("doc_id_lo"), DOC_BUCKET_SHIFT)
         barr = (
             F.array(*[F.lit(b) for b in bounds]) if bounds else F.array(F.lit(""))

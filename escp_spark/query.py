@@ -821,15 +821,21 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         .filter(F.col("rk") <= F.col("k"))
     )
     # The tie-complete candidate set is driver-sized by construction
-    # (≤ Σ_q (k_q + boundary ties)). Materialize it once (localCheckpoint —
-    # tiny), collect its doc_ids, and push them INTO the docmap scan as an
+    # (≤ Σ_q (k_q + boundary ties)). Collect it ONCE — that both cuts the
+    # scoring lineage (the final query re-plans from a literal local
+    # relation instead of recomputing the scan+score+rank DAG; the old
+    # localCheckpoint+distinct+collect spent two extra jobs on the same
+    # effect) and yields the doc_ids to push INTO the docmap scan as an
     # isin filter: the probe side of the url join then reads only the
     # row groups containing candidates (PushedFilters: In(doc_id, ...)),
     # instead of a full scan of a table with one row per corpus doc
     # (10^12 at design scale). Mirrors the serving path's urls_for
     # pushdown (VERDICT r02 wrong-#3).
-    cand = cand.localCheckpoint(eager=True)
-    cand_ids = [r.doc_id for r in cand.select("doc_id").distinct().collect()]
+    cand_rows = cand.select("query_id", "doc_id", "score", "k").collect()
+    cand = spark.createDataFrame(
+        cand_rows, "query_id int, doc_id long, score double, k int"
+    )
+    cand_ids = sorted({r.doc_id for r in cand_rows})
     docmap = spark.read.parquet(paths["docmap"])
     if not cand_ids:
         docmap = docmap.filter(F.lit(False))

@@ -206,6 +206,8 @@ def test_cold_term_bounds_match_pandas_reference(spark):
     pdf = pdf.sample(frac=1.0, random_state=5).reset_index(drop=True)
     df = spark.createDataFrame(pdf)
 
+    from escp_spark.build import _bounds_pandas
+
     for P in (1, 4, 7):
         got = _cold_term_bounds(df, P)
         ref = pdf.sort_values("term").reset_index(drop=True)
@@ -213,7 +215,9 @@ def test_cold_term_bounds_match_pandas_reference(spark):
         per_part = max(float(ref["nblocks"].sum()) / float(P), 1.0)
         p = np.floor((cum - ref["nblocks"]) / per_part)
         want = sorted(ref.groupby(p)["term"].min().tolist())
-        assert got == want, f"P={P}"
+        assert got == want, f"P={P} (distributed)"
+        # The merge's small-vocab driver fast path must agree too.
+        assert _bounds_pandas(pdf, P) == want, f"P={P} (driver)"
 
 
 def test_cold_term_bounds_empty(spark):
