@@ -24,6 +24,10 @@
         consolidation over the known effective buckets + republish
         (the periodic force-merge lifecycle step, D5).
 
+    python -m escp_spark.cli delete   INDEX_DIR URL... soft-delete urls
+        from a streamed index (tombstones hide them at serve time;
+        `compact` purges them physically and re-exacts the stats).
+
     python -m escp_spark.cli tail     SOURCE [--since 2h] [--terms ...]
         [--not-terms ...] ≅ estail (cmd/estail/estail.go:22-106):
         filtered newest-first scan, anchored at max(warc_ts) in the data.
@@ -78,6 +82,11 @@ def main(argv=None):
     c.add_argument("index_dir")
     c.add_argument("--maxsegs", type=int, default=5)
     c.add_argument("--build-id", default="stream0")
+
+    de = sub.add_parser("delete")
+    de.add_argument("index_dir")
+    de.add_argument("urls", nargs="+")
+    de.add_argument("--build-id", default="stream0")
 
     t = sub.add_parser("tail")
     t.add_argument("source")
@@ -156,6 +165,14 @@ def main(argv=None):
                 build_id=args.build_id,
             )
             print(json.dumps(manifest))
+            return 0
+
+        if args.cmd == "delete":
+            from .streaming import delete_urls
+
+            n = delete_urls(spark, args.index_dir, args.urls,
+                            build_id=args.build_id)
+            print(json.dumps({"tombstoned_doc_ids": n}))
             return 0
 
         if args.cmd == "validate":

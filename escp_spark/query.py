@@ -180,6 +180,13 @@ class IndexReader:
         self._dm_pf: dict[int, object] = {}
         self._dm_index = None                    # (_IntervalIndex, always, rgs)
         self._dm_cache = _ByteLRU(dm_b)
+        # Soft-deleted doc_ids (streamed-index update/delete lifecycle):
+        # excluded during scoring until compaction purges them
+        # physically. Reloaded on every manifest republish (delete_urls
+        # republishes), so long-lived readers see deletes promptly.
+        from .streaming.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(self._index_dir)
 
     def _stat_sig(self):
         from .sources.tables import MANIFEST_NAME
@@ -439,7 +446,8 @@ def _aggregate(doc_ids: np.ndarray, contribs: np.ndarray):
 
 def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
                      idf: dict[str, float], avgdl: float, k: int,
-                     window_shift: int = 40, fetch=None):
+                     window_shift: int = 40, fetch=None,
+                     exclude: np.ndarray | None = None):
     """Block-max pruned scoring for ONE query — window-at-a-time WAND.
 
     Windows are buckets (docid = bucket<<40|rank, so docid>>40 is the
@@ -508,12 +516,25 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
         def get_bufs(idx: np.ndarray):
             return list(id_bufs[idx]), list(tf_bufs[idx]), list(dl_bufs[idx])
 
+    # Soft-deleted docs (streamed update/delete) are dropped at decode
+    # time, BEFORE θ is seeded — θ then reflects live docs only, so the
+    # pruning proof holds unchanged over the live set (block upper
+    # bounds may still include deleted docs' stats: stale but valid).
+    def drop_excluded(ids, *aligned):
+        if exclude is None or exclude.size == 0 or ids.size == 0:
+            return (ids, *aligned)
+        from .streaming.deletes import live_mask
+
+        m = live_mask(ids, exclude)
+        return (ids[m], *(a[m] for a in aligned))
+
     def decode_rows(idx: np.ndarray):
         if idx.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0)
         b_ids, b_tfs, b_dls = get_bufs(idx)
         ids, tfs, dls, blk = decode_blocks_bulk(b_ids, b_tfs, b_dls, ns[idx])
         contribs = bm25_contrib(tfs, dls, avgdl, w_arr[idx][blk])
+        ids, contribs = drop_excluded(ids, contribs)
         return _aggregate(ids, contribs)
 
     # ---- Spanning blocks: decode once (raw postings for per-(window,
@@ -527,8 +548,11 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
         sp_raw_contribs = bm25_contrib(
             sp_raw_tfs, sp_raw_dls, avgdl, w_arr[sp_idx][sp_blk]
         )
-        sp_raw_w = sp_raw_ids.astype(np.int64) >> window_shift
         sp_raw_t = term_codes[sp_idx][sp_blk]
+        sp_raw_ids, sp_raw_contribs, sp_raw_t = drop_excluded(
+            sp_raw_ids, sp_raw_contribs, sp_raw_t
+        )
+        sp_raw_w = sp_raw_ids.astype(np.int64) >> window_shift
         sp_ids, sp_contribs = _aggregate(sp_raw_ids, sp_raw_contribs)
     else:
         sp_raw_w = np.empty(0, dtype=np.int64)
@@ -635,6 +659,7 @@ def search_topk(index_dir: str, queries: list[dict],
         doc_ids, scores = _prune_and_score(
             qblocks, weights, idf, reader.avgdl, q["k"],
             fetch=reader.fetch_payloads,
+            exclude=reader.tombstones if reader.tombstones.size else None,
         )
         last_prune_stats["payload_bytes_fetched"] = (
             reader.payload_bytes_fetched - io0[0]
@@ -715,6 +740,12 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                 )
     plan_bc = spark.sparkContext.broadcast(dict(q_terms))
     avgdl_bc = avgdl
+    # Soft-deleted doc_ids (streamed update/delete): dropped at decode
+    # time inside the scoring tasks, mirroring the serving path.
+    from .streaming.deletes import live_mask, load_tombstones
+
+    tombstones = load_tombstones(index_dir)
+    tomb_bc = spark.sparkContext.broadcast(tombstones)
 
     # Flush the in-task partial combine every ~1M expanded (query, doc,
     # contrib) rows: the lexsort-based combine then touches ~24 MB of
@@ -758,6 +789,10 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                     list(g["doc_ids"]), list(g["tfs"]), list(g["dls"]),
                     g["n"].to_numpy(),
                 )
+                tomb = tomb_bc.value
+                if tomb.size:
+                    m = live_mask(ids, tomb)
+                    ids, tfs, dls = ids[m], tfs[m], dls[m]
                 base = bm25_contrib(tfs, dls, avgdl_bc, 1.0)
                 ids64 = ids.astype(np.int64)
                 for qid, w in targets:

@@ -1,3 +1,4 @@
+from .deletes import delete_urls, load_tombstones
 from .ingest import (
     compact_streamed_index,
     finalize_streamed_index,
@@ -8,4 +9,6 @@ __all__ = [
     "stream_ingest_once",
     "finalize_streamed_index",
     "compact_streamed_index",
+    "delete_urls",
+    "load_tombstones",
 ]

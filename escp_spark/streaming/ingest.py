@@ -183,10 +183,24 @@ def _existing_urls(spark: SparkSession, layout: IndexLayout,
     excluded: a restart that re-runs a crashed epoch (same epoch id)
     would otherwise anti-join its docs against its own partial docmap
     write, drop them all, and overwrite the group EMPTY — excluding it
-    makes the replay an idempotent re-write instead."""
+    makes the replay an idempotent re-write instead. Tombstoned urls
+    are also excluded, so delete + re-ingest = UPDATE (the url gets a
+    fresh doc_id; the old one stays soft-deleted until compaction)."""
     docmap = spark.read.parquet(layout.docmap)
     if "group" in docmap.columns:
         docmap = docmap.filter(F.col("group") != f"e{epoch}")
+    from .deletes import load_tombstones
+
+    tomb = load_tombstones(layout.root)
+    if tomb.size:
+        # Exclude by DOC_ID (not url): a deleted url with no live row
+        # becomes re-ingestable, while an url that was already
+        # re-indexed (update) keeps its live row in `existing` so a
+        # further ingest of it still dedups.
+        tdf = spark.createDataFrame(
+            [(int(t),) for t in tomb], "doc_id long"
+        )
+        docmap = docmap.join(F.broadcast(tdf), "doc_id", "left_anti")
     return docmap.select("url")
 
 
@@ -427,12 +441,31 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
     finalize/compact re-derive the published layout from level-0, so
     compaction is a pure re-layout — idempotent and repeatable."""
     from ..build import merge_segments
+    from .deletes import (
+        clear_tombstones, load_tombstones, purge_docmap, purge_level0,
+    )
 
     layout = IndexLayout(index_dir, build_id)
+    # Physical delete (the Lucene merge-purge step): drop tombstoned
+    # postings from level-0 and rows from the docmap BEFORE the merge,
+    # so the republished stats (df, cf, n_docs, avgdl) are exact for
+    # the live corpus — post-compact results equal a fresh build over
+    # the live docs (asserted in tests).
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        purge_level0(spark, layout, tomb)
+        purge_docmap(spark, layout, tomb)
     l0 = spark.read.parquet(layout.postings_l0)
     n_eff = int(l0.agg(F.max("bucket")).first()[0] or 0) + 1
     prune_shift = merge_segments(
         spark, layout, n_buckets=n_eff, max_segments=max_segments,
         merge_parallelism=spark.sparkContext.defaultParallelism,
     )
-    return _stats_and_publish(spark, layout, max_segments, prune_shift)
+    manifest = _stats_and_publish(spark, layout, max_segments, prune_shift)
+    if tomb.size:
+        # Cleared only after the purged index is published; a crash
+        # before this point leaves the (now no-op) tombstones in place —
+        # idempotent. The url bloom keeps deleted urls as maybe-hits;
+        # the anti-join verify resolves them correctly (conservative).
+        clear_tombstones(index_dir)
+    return manifest

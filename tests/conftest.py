@@ -38,6 +38,40 @@ def built_index(spark, tiny_corpus, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def stream_source(tmp_path_factory):
+    """The corpus split into 3 parquet files (arriving 'over time') —
+    url-deduplicated (streaming ingest is append-only across epochs
+    while the batch build is last-write-wins; see ingest.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from escp_spark.corpus import generate_web_pages
+
+    d = tmp_path_factory.mktemp("stream_src")
+    cols = generate_web_pages(600, seed=11)
+    table = pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(cols["html"], pa.binary()),
+            "text": pa.array(cols["text"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+        }
+    )
+    pdf = table.to_pandas().sort_values("warc_ts").drop_duplicates(
+        "url", keep="last"
+    ).sort_index()
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(table.schema)
+    n = table.num_rows
+    for i in range(3):
+        pq.write_table(
+            table.slice(i * n // 3, n // 3 + (n % 3 if i == 2 else 0)),
+            str(d / f"part{i}.parquet"),
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="session")
 def oracle_docs(tiny_corpus):
     """Deduped url→text dict, same LWW rule as the engine."""
     import pyarrow.parquet as pq

@@ -8,40 +8,12 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
-from escp_spark.corpus import generate_web_pages
 from escp_spark.query import search_topk
 from escp_spark.streaming import finalize_streamed_index, stream_ingest_once
 
 
-@pytest.fixture(scope="module")
-def stream_source(tmp_path_factory):
-    """The corpus split into 3 parquet files (arriving 'over time')."""
-    import pyarrow as pa
-
-    d = tmp_path_factory.mktemp("stream_src")
-    cols = generate_web_pages(600, seed=11)
-    table = pa.table(
-        {
-            "url": pa.array(cols["url"], pa.string()),
-            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
-            "html": pa.array(cols["html"], pa.binary()),
-            "text": pa.array(cols["text"], pa.string()),
-            "lang": pa.array(cols["lang"], pa.string()),
-        }
-    )
-    # Streaming ingest is append-only across epochs (first write wins;
-    # see ingest.py docstring) while the batch build is last-write-wins,
-    # so for the equivalence check feed a url-deduplicated stream (the
-    # documented operating condition for streamed corpora).
-    pdf = table.to_pandas().sort_values("warc_ts").drop_duplicates(
-        "url", keep="last"
-    ).sort_index()
-    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(table.schema)
-    n = table.num_rows
-    for i in range(3):
-        pq.write_table(table.slice(i * n // 3, n // 3 + (n % 3 if i == 2 else 0)),
-                       str(d / f"part{i}.parquet"))
-    return str(d)
+# stream_source fixture lives in conftest.py (shared with
+# test_deletes.py).
 
 
 def test_stream_ingest_matches_batch_build(spark, stream_source, tmp_path):
