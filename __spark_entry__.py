@@ -272,6 +272,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_expr(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (byte-pigeonhole blocked self-join with
+    exact-duplicate pre-collapse). At max_hamming=3 < n_bits/8 the
+    4-byte blocking is provably COMPLETE (a pair within distance 3 must
+    agree on ≥1 of 4 bytes), so the blocked output equals the all-pairs
+    form — which is exactly what the DuckDB oracle computes."""
+    from escp_spark.operators import simhash_near_dups
+
+    return simhash_near_dups(
+        _read(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID over documents (sampled)."""
     from escp_spark.operators import langid_scores
@@ -481,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "events_window_agg": q_events_window_agg,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "langid": q_langid,
         "quality": q_quality,
         "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -572,6 +586,31 @@ def _simhash_oracle_sql() -> str:
 
 
 _SIMHASH_SQL = _simhash_oracle_sql()
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """All-pairs reference for the BLOCKED engine pairs — valid because
+    pigeonhole blocking is complete at max_hamming 3 with 4 bytes."""
+    from escp_spark.operators.dedup import simhash_sql
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), sig AS (
+          SELECT doc_id, ({simhash_sql('duckdb', 'term', 'tf')})::BIGINT AS simhash
+          FROM tf GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+_SIMHASH_PAIRS_SQL = _simhash_pairs_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -739,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "simhash": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "minhash_near_dups": _minhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "langid": """

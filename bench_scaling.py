@@ -250,6 +250,24 @@ window; raw stage rows recorded in the round-4 session):
   reported number is a per-metric min over ≥3 repeats with raw samples
   published.
 
+## Operator measurements (round 4)
+
+- **Serving lookups are searchsorted, caches byte-bounded**: docmap url
+  lookups and postings-metadata candidates stab sorted interval indexes
+  over footer stats (O(log row-groups) per probe — a 200-row-group
+  docmap lookup touches ≤ |ids| row groups, test-asserted); payload/
+  meta/docmap caches are byte-budgeted LRU (256/64/128 MB defaults,
+  budget-asserted under a hot-term stream).
+- **Streaming dedup is bloom-first**: disjoint micro-batches read ZERO
+  docmap bytes (test-asserted); overlap verifies via an isin-pruned
+  anti-join. Update/delete lifecycle: tombstones hide docs exactly;
+  compaction purges physically and post-compact results equal a fresh
+  build over the live corpus bit-exactly (test-asserted).
+- **Exact-dup pre-collapse before LSH**: a 25-copy cluster in a 46-doc
+  corpus produces ≥300 candidate pairs banded directly vs ≤ C(reps,2)
+  after collapse (>5× fewer measured); output identical (minhash and
+  simhash, test-asserted).
+
 ## Operator measurements (round 3)
 
 - **PPJoin prefix ordering** (ngram_jaccard_pairs): switching the prefix
