@@ -593,6 +593,55 @@ def _consolidate_tails_arrow(batches):
 _PLACEMENT_DRIVER_MAX_TERMS = 1_000_000
 
 
+def _write_dictionary(spark, layout: IndexLayout, stats: DataFrame | None,
+                      driver_pdf: pd.DataFrame | None = None) -> int:
+    """Write the term dictionary (term, df, cf) from the LEVEL-0 block
+    stats and return Σcf (the corpus token count, for avgdl).
+
+    df = Σn and cf = Σsum_tf per term are invariant under the merge's
+    tail consolidation (re-encoding preserves every posting), so the
+    dictionary derives from the same single aggregation pass that drives
+    merge placement — the old finalize re-scanned the PUBLISHED postings
+    for it, a second full metadata pass per build (VERDICT r04 #4).
+
+    ``driver_pdf`` (term/df/cf, ≤ _PLACEMENT_DRIVER_MAX_TERMS rows) is
+    the already-collected fast path: one globally term-sorted file
+    written with pyarrow, zero extra Spark jobs. Otherwise ``stats``
+    (ideally persisted by the caller) is written distributed, term-sorted
+    within partitions so dictionary row-group footer stats stay
+    seek-friendly for the serving path's filtered scans."""
+    if driver_pdf is not None:
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = driver_pdf.sort_values("term").reset_index(drop=True)
+        tbl = pa.table({
+            "term": pa.array(pdf["term"], pa.string()),
+            "df": pa.array(pdf["df"].astype("int64"), pa.int64()),
+            "cf": pa.array(pdf["cf"].astype("int64"), pa.int64()),
+        })
+        tmp = os.path.join(layout.root, f".tmp-dict-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp, row_group_size=1 << 20)
+        if os.path.isdir(layout.dictionary):
+            shutil.rmtree(layout.dictionary)
+        os.makedirs(layout.dictionary)
+        os.replace(tmp, os.path.join(layout.dictionary, "part-0.parquet"))
+        return int(pdf["cf"].sum()) if len(pdf) else 0
+    (
+        stats.select(
+            "term", F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(layout.dictionary)
+    )
+    return int(stats.agg(F.sum("cf")).collect()[0][0] or 0)
+
+
 def _bounds_pandas(cold: pd.DataFrame, merge_parallelism: int) -> list[str]:
     """Driver-side reference of the cold-term bounds (identical formula
     to _cold_term_bounds — the distributed test asserts equality)."""
@@ -677,10 +726,13 @@ def merge_segments(
     consolidate: bool = True,
     hot_term_blocks: int | None = None,
     row_group_bytes: int = POSTINGS_ROW_GROUP_BYTES,
-) -> int:
+) -> dict:
     """Merge level-0 (per-bucket) segments down to ≤ max_segments.
-    Returns the index's ``prune_shift`` (the docid window granularity the
-    serving path must use — recorded in the manifest).
+    Returns ``{"prune_shift", "total_tokens"}``: the docid window
+    granularity the serving path must use (recorded in the manifest) and
+    Σcf for avgdl. The term dictionary is written HERE, fused into the
+    same level-0 stats aggregation that drives placement — finalize no
+    longer re-scans the published postings for it (VERDICT r04 #4).
 
     Two phases, mirroring Lucene's merge-then-compact:
 
@@ -751,10 +803,16 @@ def merge_segments(
         merged = full.unionByName(consolidated)
     else:
         merged = base.select(*_MERGED_COLS)
+    # ONE aggregation pass over the level-0 block metadata feeds the
+    # placement derivations (hot list, range bounds) AND the term
+    # dictionary (df = Σn, cf = Σsum_tf — invariant under consolidation).
+    stats = l0.groupBy("term").agg(
+        F.count("*").alias("nblocks"),
+        F.sum("n").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+    )
+    total_tokens: int
     if physical == "range":
-        # One aggregation pass over the level-0 block metadata feeds both
-        # placement derivations (hot list, range bounds).
-        stats = l0.groupBy("term").agg(F.count("*").alias("nblocks"))
         # A cold term must be a BOUNDED work unit for every consumer —
         # one merge task, one batch-scoring task (its whole list lands in
         # one file = one input split), one serving metadata read. The cut
@@ -789,7 +847,9 @@ def merge_segments(
         if len(rows) <= _PLACEMENT_DRIVER_MAX_TERMS:
             spdf = pd.DataFrame(
                 {"term": [r.term for r in rows],
-                 "nblocks": [r.nblocks for r in rows]}
+                 "nblocks": [r.nblocks for r in rows],
+                 "df": [r.df for r in rows],
+                 "cf": [r.cf for r in rows]}
             )
             hot_pdf = (
                 spdf[spdf["nblocks"] > hot_cut]
@@ -799,6 +859,9 @@ def merge_segments(
             hot_terms = hot_pdf["term"].tolist()
             bounds = _bounds_pandas(
                 spdf[~spdf["term"].isin(hot_terms)], merge_parallelism
+            )
+            total_tokens = _write_dictionary(
+                spark, layout, None, driver_pdf=spdf
             )
         else:
             stats = stats.persist()
@@ -814,6 +877,7 @@ def merge_segments(
                 if hot_terms else stats
             )
             bounds = _cold_term_bounds(cold, merge_parallelism)
+            total_tokens = _write_dictionary(spark, layout, stats)
             stats.unpersist()
         pos = F.shiftright(F.col("doc_id_lo"), DOC_BUCKET_SHIFT)
         barr = (
@@ -832,6 +896,8 @@ def merge_segments(
             .repartition(merge_parallelism + max(len(bounds), 1), "mpart")
             .drop("mpart")
         )
+    else:
+        total_tokens = _write_dictionary(spark, layout, stats)
     merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo")
     (
         merged.write.mode("overwrite")
@@ -846,7 +912,10 @@ def merge_segments(
         .partitionBy("segment")
         .parquet(layout.postings)
     )
-    return DOC_BUCKET_SHIFT + (seg_shift if consolidate else 0)
+    return {
+        "prune_shift": DOC_BUCKET_SHIFT + (seg_shift if consolidate else 0),
+        "total_tokens": total_tokens,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -1187,28 +1256,25 @@ def build_index(
 
     _mark("segment")
 
-    # ---- Finalize (idempotent overwrites): merge, dictionary, stats,
-    # atomic manifest publish (D3/B11).
-    prune_shift = merge_segments(
+    # ---- Finalize (idempotent overwrites): merge (which also writes the
+    # dictionary from its own level-0 stats pass), stats, atomic manifest
+    # publish (D3/B11).
+    merged = merge_segments(
         spark, layout, n_buckets, max_segments, merge_parallelism,
         row_group_bytes=postings_row_group_bytes,
     )
+    prune_shift = merged["prune_shift"]
     _mark("merge")
 
-    postings = spark.read.parquet(layout.postings)
-    (
-        postings.groupBy("term")
-        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(layout.dictionary)
-    )
-
     n_docs = int(sum(grp_counts.values()))
-    total_tokens = (
-        spark.read.parquet(layout.dictionary).agg(F.sum("cf")).collect()[0][0] or 0
-    )
-    avgdl = total_tokens / n_docs if n_docs else 0.0
+    avgdl = merged["total_tokens"] / n_docs if n_docs else 0.0
+
+    # Serving-metadata sidecar: the row-group footer stats the reader's
+    # interval indexes need, scanned ONCE here instead of per reader per
+    # publish (VERDICT r04 wrong-#1; the Lucene persist-at-merge analog).
+    from .sidecar import write_rg_sidecar
+
+    write_rg_sidecar(layout, spark)
 
     manifest = publish_manifest(
         layout,

@@ -81,12 +81,15 @@ def main(argv=None):
     c = sub.add_parser("compact")
     c.add_argument("index_dir")
     c.add_argument("--maxsegs", type=int, default=5)
-    c.add_argument("--build-id", default="stream0")
+    c.add_argument("--build-id", default=None,
+                   help="defaults to the published manifest's build_id; "
+                        "a mismatching value fails loudly")
 
     de = sub.add_parser("delete")
     de.add_argument("index_dir")
     de.add_argument("urls", nargs="+")
-    de.add_argument("--build-id", default="stream0")
+    de.add_argument("--build-id", default=None,
+                   help="defaults to the published manifest's build_id")
 
     t = sub.add_parser("tail")
     t.add_argument("source")

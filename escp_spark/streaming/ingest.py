@@ -223,37 +223,43 @@ def _drop_already_indexed(spark: SparkSession, layout: IndexLayout,
         rebuilt = True
     hashed = _with_url_hashes(prepared)
     might = _bloom_might_contain_udf(spark, bloom)
-    hashed = hashed.withColumn("__maybe", might(F.col("__h1"), F.col("__h2")))
     maybe_urls = [
         r.url
-        for r in hashed.filter(F.col("__maybe"))
+        for r in hashed.withColumn("__maybe", might(F.col("__h1"), F.col("__h2")))
+        .filter(F.col("__maybe"))
         .select("url").limit(_MAYBE_ISIN_MAX + 1).collect()
     ]
+    # Downstream plans split on the COLLECTED url set (a JVM-side isin),
+    # never on a recomputed __maybe column — the bloom UDF runs exactly
+    # one pass over the batch (ADVICE r04: the old plan re-evaluated it
+    # in both branches of the union, plus once for the collect).
     docmap_verify = "skipped"
     if not maybe_urls:
         # Disjoint epoch (the common case): zero docmap bytes read.
         new_rows = hashed
-    else:
-        if len(maybe_urls) <= _MAYBE_ISIN_MAX:
-            # Pruned verify: url isin pushdown → docmap row groups whose
-            # [url-min, url-max] stats miss every maybe-url are skipped.
-            existing = existing.filter(F.col("url").isin(maybe_urls))
-            docmap_verify = "isin_pruned"
-        else:
-            # Huge overlap (e.g. re-ingest of a known corpus): fall back
-            # to a broadcast-free anti-join over the full url column.
-            docmap_verify = "full"
-        confirmed_new = hashed.filter(F.col("__maybe")).join(
-            existing, "url", "left_anti"
+    elif len(maybe_urls) <= _MAYBE_ISIN_MAX:
+        # Pruned verify: url isin pushdown → docmap row groups whose
+        # [url-min, url-max] stats miss every maybe-url are skipped.
+        docmap_verify = "isin_pruned"
+        confirmed_new = hashed.filter(F.col("url").isin(maybe_urls)).join(
+            existing.filter(F.col("url").isin(maybe_urls)), "url", "left_anti"
         )
-        new_rows = hashed.filter(~F.col("__maybe")).unionByName(confirmed_new)
+        new_rows = hashed.filter(~F.col("url").isin(maybe_urls)).unionByName(
+            confirmed_new
+        )
+    else:
+        # Huge overlap (e.g. re-ingest of a known corpus): the maybe set
+        # is no longer driver-sized, so anti-join the whole batch — no
+        # UDF in the plan at all.
+        docmap_verify = "full"
+        new_rows = hashed.join(existing, "url", "left_anti")
     last_dedup_stats = {
         "maybe_hits": len(maybe_urls),
         "docmap_verify": docmap_verify,
         "bloom_rebuilt": rebuilt,
         "bloom_n": bloom["n"],
     }
-    return new_rows.drop("__h1", "__h2", "__maybe"), bloom
+    return new_rows.drop("__h1", "__h2"), bloom
 
 
 def _ingest_epoch(batch_df: DataFrame, epoch: int, layout: IndexLayout,
@@ -348,26 +354,28 @@ def stream_ingest_once(spark: SparkSession, source_dir: str, index_dir: str,
 
 
 def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
-                       max_segments: int, consolidation_shift: int) -> dict:
-    """Rebuild dictionary + corpus stats from the published postings and
-    atomically (re)publish the manifest — shared by finalize (cheap,
-    unconsolidated) and compaction (full tail consolidation)."""
-    postings = spark.read.parquet(layout.postings)
-    (
-        postings.groupBy("term")
-        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(layout.dictionary)
-    )
+                       max_segments: int, consolidation_shift: int,
+                       total_tokens: int | None = None) -> dict:
+    """Publish corpus stats + manifest — shared by finalize and
+    compaction. ``total_tokens`` (Σcf) comes from the dictionary write
+    that merge_segments / finalize fused into their level-0 stats pass
+    (VERDICT r04 #4 — no separate published-postings re-scan); when
+    None (defensive fallback) it is read back from the dictionary."""
     from ..analyzer import ANALYZER_VERSION
     from ..build import INDEX_LAYOUT_VERSION
     from ..codec import BLOCK_SIZE, CODEC_VERSION
 
     n_docs = spark.read.parquet(layout.docmap).count()
-    total_tokens = (
-        spark.read.parquet(layout.dictionary).agg(F.sum("cf")).collect()[0][0] or 0
-    )
+    if total_tokens is None:
+        total_tokens = (
+            spark.read.parquet(layout.dictionary).agg(F.sum("cf"))
+            .collect()[0][0] or 0
+        )
+    # Refresh the serving-metadata sidecar at every (re)publish so
+    # long-lived readers never fall back to the per-reader footer walk.
+    from ..sidecar import write_rg_sidecar
+
+    write_rg_sidecar(layout, spark)
     return publish_manifest(
         layout,
         {
@@ -417,15 +425,28 @@ def finalize_streamed_index(spark: SparkSession, index_dir: str,
         .partitionBy("segment")
         .parquet(layout.postings)
     )
+    # Dictionary from the SAME level-0 metadata (df/cf invariant under
+    # the modulo re-layout) — not a re-scan of the published postings.
+    from ..build import _write_dictionary
+
+    total_tokens = _write_dictionary(
+        spark, layout,
+        l0.groupBy("term").agg(
+            F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")
+        ),
+    )
     # Modulo segment placement (open-ended epoch buckets) is not
     # docid-contiguous, so tails stay unconsolidated and every block
     # remains inside one effective bucket → prune window stays the bucket.
-    return _stats_and_publish(spark, layout, max_segments, DOC_BUCKET_SHIFT)
+    return _stats_and_publish(
+        spark, layout, max_segments, DOC_BUCKET_SHIFT,
+        total_tokens=total_tokens,
+    )
 
 
 def compact_streamed_index(spark: SparkSession, index_dir: str,
                            max_segments: int = 5,
-                           build_id: str = "stream0") -> dict:
+                           build_id: str | None = None) -> dict:
     """Periodic epoch compaction (the missing lifecycle step for a
     long-lived streamed index): re-merge ALL level-0 segments with
     CONTIGUOUS segment ranges over the now-known effective-bucket space
@@ -441,11 +462,14 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
     finalize/compact re-derive the published layout from level-0, so
     compaction is a pure re-layout — idempotent and repeatable."""
     from ..build import merge_segments
+    from ..sources.tables import load_manifest, publish_manifest
     from .deletes import (
-        clear_tombstones, load_tombstones, purge_docmap, purge_level0,
+        _GENERATED_KEYS, _resolve_build_id, clear_tombstones,
+        load_tombstones, purge_docmap, purge_level0,
     )
 
-    layout = IndexLayout(index_dir, build_id)
+    prior = load_manifest(index_dir)
+    layout = IndexLayout(index_dir, _resolve_build_id(prior, build_id))
     # Physical delete (the Lucene merge-purge step): drop tombstoned
     # postings from level-0 and rows from the docmap BEFORE the merge,
     # so the republished stats (df, cf, n_docs, avgdl) are exact for
@@ -453,15 +477,30 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
     # the live docs (asserted in tests).
     tomb = load_tombstones(index_dir)
     if tomb.size:
-        purge_level0(spark, layout, tomb)
+        purge_level0(spark, layout, tomb)  # staging only — readers unaffected
         purge_docmap(spark, layout, tomb)
+        # The docmap swap replaced PUBLISHED files; long-lived readers
+        # hold pyarrow datasets over the old paths and only re-resolve
+        # on a manifest change — republish immediately (same stats; the
+        # tombstones are still in place so soft-delete masking keeps
+        # results exact over the live set), instead of leaving readers
+        # FileNotFound-prone for the whole merge below (ADVICE r04
+        # medium). A crash right after the swap leaves the same state:
+        # purged files + live tombstones — correct, just stale-stats.
+        publish_manifest(
+            layout,
+            {k: v for k, v in prior.items() if k not in _GENERATED_KEYS},
+        )
     l0 = spark.read.parquet(layout.postings_l0)
     n_eff = int(l0.agg(F.max("bucket")).first()[0] or 0) + 1
-    prune_shift = merge_segments(
+    merged = merge_segments(
         spark, layout, n_buckets=n_eff, max_segments=max_segments,
         merge_parallelism=spark.sparkContext.defaultParallelism,
     )
-    manifest = _stats_and_publish(spark, layout, max_segments, prune_shift)
+    manifest = _stats_and_publish(
+        spark, layout, max_segments, merged["prune_shift"],
+        total_tokens=merged["total_tokens"],
+    )
     if tomb.size:
         # Cleared only after the purged index is published; a crash
         # before this point leaves the (now no-op) tombstones in place —
