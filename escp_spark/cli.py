@@ -20,12 +20,13 @@
         distributed batch path.
 
     python -m escp_spark.cli compact  INDEX_DIR [--maxsegs N]
-        streamed-index epoch compaction: re-merge with tail
-        consolidation over the known effective buckets + republish
-        (the periodic force-merge lifecycle step, D5).
+        compaction for any published index (streamed OR batch-built):
+        purge tombstoned docs, re-merge with tail consolidation,
+        re-exact stats, republish (the periodic force-merge lifecycle
+        step, D5; delete semantics ≅ esbulk.go:190-197).
 
     python -m escp_spark.cli delete   INDEX_DIR URL... soft-delete urls
-        from a streamed index (tombstones hide them at serve time;
+        from any published index (tombstones hide them at serve time;
         `compact` purges them physically and re-exacts the stats).
 
     python -m escp_spark.cli tail     SOURCE [--since 2h] [--terms ...]
@@ -80,7 +81,8 @@ def main(argv=None):
 
     c = sub.add_parser("compact")
     c.add_argument("index_dir")
-    c.add_argument("--maxsegs", type=int, default=5)
+    c.add_argument("--maxsegs", type=int, default=None,
+                   help="defaults to the published manifest's value")
     c.add_argument("--build-id", default=None,
                    help="defaults to the published manifest's build_id; "
                         "a mismatching value fails loudly")
@@ -161,9 +163,9 @@ def main(argv=None):
             return 0
 
         if args.cmd == "compact":
-            from .streaming import compact_streamed_index
+            from .streaming import compact_index
 
-            manifest = compact_streamed_index(
+            manifest = compact_index(
                 spark, args.index_dir, max_segments=args.maxsegs,
                 build_id=args.build_id,
             )

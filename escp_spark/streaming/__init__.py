@@ -1,5 +1,6 @@
 from .deletes import delete_urls, load_tombstones
 from .ingest import (
+    compact_index,
     compact_streamed_index,
     finalize_streamed_index,
     stream_ingest_once,
@@ -8,6 +9,7 @@ from .ingest import (
 __all__ = [
     "stream_ingest_once",
     "finalize_streamed_index",
+    "compact_index",
     "compact_streamed_index",
     "delete_urls",
     "load_tombstones",

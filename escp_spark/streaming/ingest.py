@@ -179,13 +179,15 @@ def _bloom_might_contain_udf(spark: SparkSession, bloom: dict):
 
 def _existing_urls(spark: SparkSession, layout: IndexLayout,
                    epoch: int) -> DataFrame:
-    """Urls of every PRIOR epoch. The replaying epoch's own group is
-    excluded: a restart that re-runs a crashed epoch (same epoch id)
-    would otherwise anti-join its docs against its own partial docmap
-    write, drop them all, and overwrite the group EMPTY — excluding it
-    makes the replay an idempotent re-write instead. Tombstoned urls
-    are also excluded, so delete + re-ingest = UPDATE (the url gets a
-    fresh doc_id; the old one stays soft-deleted until compaction)."""
+    """(url, bucket) of every PRIOR epoch. The replaying epoch's own
+    group is excluded: a restart that re-runs a crashed epoch (same
+    epoch id) would otherwise anti-join its docs against its own partial
+    docmap write, drop them all, and overwrite the group EMPTY —
+    excluding it makes the replay an idempotent re-write instead.
+    Tombstoned urls are also excluded, so delete + re-ingest = UPDATE
+    (the url gets a fresh doc_id; the old one stays soft-deleted until
+    compaction). The effective-bucket column rides along so the huge-
+    overlap fallback can prune its docmap read bucket-wise."""
     docmap = spark.read.parquet(layout.docmap)
     if "group" in docmap.columns:
         docmap = docmap.filter(F.col("group") != f"e{epoch}")
@@ -201,11 +203,12 @@ def _existing_urls(spark: SparkSession, layout: IndexLayout,
             [(int(t),) for t in tomb], "doc_id long"
         )
         docmap = docmap.join(F.broadcast(tdf), "doc_id", "left_anti")
-    return docmap.select("url")
+    return docmap.select("url", "bucket")
 
 
 def _drop_already_indexed(spark: SparkSession, layout: IndexLayout,
-                          prepared: DataFrame, epoch: int) -> tuple:
+                          prepared: DataFrame, epoch: int,
+                          n_buckets: int) -> tuple:
     """Append-only cross-epoch dedup, bloom-first (see module comment).
     Returns (new_rows_df, bloom)."""
     global last_dedup_stats
@@ -250,9 +253,50 @@ def _drop_already_indexed(spark: SparkSession, layout: IndexLayout,
     else:
         # Huge overlap (e.g. re-ingest of a known corpus): the maybe set
         # is no longer driver-sized, so anti-join the whole batch — no
-        # UDF in the plan at all.
-        docmap_verify = "full"
-        new_rows = hashed.join(existing, "url", "left_anti")
+        # UDF in the plan at all. The docmap side is still pruned
+        # BUCKET-WISE (VERDICT r04 next-#6): an url can only collide
+        # with docmap rows whose effective bucket ≡ its own base bucket
+        # (effective = epoch·n_buckets + base, so base is invariant
+        # across epochs). The batch's base-bucket set (≤ n_buckets,
+        # driver-sized) × the docmap's epoch list (a directory listing)
+        # gives the candidate effective buckets as LITERALS — an isin
+        # the scan prunes with row-group bucket stats (docmap files are
+        # written per-bucket-clustered). A batch that genuinely covers
+        # every bucket reads everything — that much is inherent.
+        base_buckets = sorted(
+            int(r.b)
+            for r in hashed.select(
+                (F.col("bucket") - F.lit(epoch * n_buckets)).alias("b")
+            ).distinct().collect()
+        )
+        epochs = sorted(
+            int(d.split("=e", 1)[1])
+            for d in os.listdir(layout.docmap)
+            if d.startswith("group=e")
+        )
+        cand = [
+            e * n_buckets + b
+            for e in epochs if e != epoch
+            for b in base_buckets
+        ]
+        n_eff_total = len([e for e in epochs if e != epoch]) * n_buckets
+        if cand and len(cand) <= 10_000:
+            existing = existing.filter(F.col("bucket").isin(cand))
+            docmap_verify = "bucket_pruned"
+        else:
+            docmap_verify = "full"
+        new_rows = hashed.join(
+            existing.select("url"), "url", "left_anti"
+        )
+        last_dedup_stats = {
+            "maybe_hits": len(maybe_urls),
+            "docmap_verify": docmap_verify,
+            "bloom_rebuilt": rebuilt,
+            "bloom_n": bloom["n"],
+            "docmap_bucket_candidates": len(cand),
+            "docmap_eff_buckets_total": n_eff_total,
+        }
+        return new_rows.drop("__h1", "__h2"), bloom
     last_dedup_stats = {
         "maybe_hits": len(maybe_urls),
         "docmap_verify": docmap_verify,
@@ -278,7 +322,9 @@ def _ingest_epoch(batch_df: DataFrame, epoch: int, layout: IndexLayout,
     # bloom-first, so a disjoint micro-batch reads no docmap bytes.
     bloom = None
     if os.path.isdir(layout.docmap) and os.listdir(layout.docmap):
-        prepared, bloom = _drop_already_indexed(spark, layout, prepared, epoch)
+        prepared, bloom = _drop_already_indexed(
+            spark, layout, prepared, epoch, n_buckets
+        )
 
     from ..build import DOCMAP_ROW_GROUP_BYTES
 
@@ -355,12 +401,16 @@ def stream_ingest_once(spark: SparkSession, source_dir: str, index_dir: str,
 
 def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
                        max_segments: int, consolidation_shift: int,
-                       total_tokens: int | None = None) -> dict:
+                       total_tokens: int | None = None,
+                       prior: dict | None = None) -> dict:
     """Publish corpus stats + manifest — shared by finalize and
     compaction. ``total_tokens`` (Σcf) comes from the dictionary write
     that merge_segments / finalize fused into their level-0 stats pass
     (VERDICT r04 #4 — no separate published-postings re-scan); when
-    None (defensive fallback) it is read back from the dictionary."""
+    None (defensive fallback) it is read back from the dictionary.
+    ``prior`` (the pre-compaction manifest) carries identity/lineage
+    fields — n_buckets, input_snapshot, source_filter — so compacting a
+    BATCH-built index doesn't rewrite them to streaming defaults."""
     from ..analyzer import ANALYZER_VERSION
     from ..build import INDEX_LAYOUT_VERSION
     from ..codec import BLOCK_SIZE, CODEC_VERSION
@@ -376,24 +426,27 @@ def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
     from ..sidecar import write_rg_sidecar
 
     write_rg_sidecar(layout, spark)
-    return publish_manifest(
-        layout,
-        {
-            "n_docs": int(n_docs),
-            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-            "n_buckets": -1,  # open-ended (epoch-scoped buckets)
-            "max_segments": max_segments,
-            # Shared constants, not literals: a future codec/layout bump
-            # must propagate to streamed manifests too, or layout-gated
-            # consumers would mis-key cache validity (ADVICE r03).
-            "block_size": BLOCK_SIZE,
-            "codec_version": CODEC_VERSION,
-            "layout_version": INDEX_LAYOUT_VERSION,
-            "analyzer_version": ANALYZER_VERSION,
-            "input_snapshot": "streaming",
-            "consolidation_shift": consolidation_shift,
-        },
-    )
+    prior = prior or {}
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        # -1 = open-ended epoch-scoped buckets (streaming default);
+        # batch compaction carries the build's real shard count.
+        "n_buckets": prior.get("n_buckets", -1),
+        "max_segments": max_segments,
+        # Shared constants, not literals: a future codec/layout bump
+        # must propagate to streamed manifests too, or layout-gated
+        # consumers would mis-key cache validity (ADVICE r03).
+        "block_size": BLOCK_SIZE,
+        "codec_version": CODEC_VERSION,
+        "layout_version": INDEX_LAYOUT_VERSION,
+        "analyzer_version": ANALYZER_VERSION,
+        "input_snapshot": prior.get("input_snapshot", "streaming"),
+        "consolidation_shift": consolidation_shift,
+    }
+    if "source_filter" in prior:
+        stats["source_filter"] = prior["source_filter"]
+    return publish_manifest(layout, stats)
 
 
 def finalize_streamed_index(spark: SparkSession, index_dir: str,
@@ -444,15 +497,19 @@ def finalize_streamed_index(spark: SparkSession, index_dir: str,
     )
 
 
-def compact_streamed_index(spark: SparkSession, index_dir: str,
-                           max_segments: int = 5,
-                           build_id: str | None = None) -> dict:
-    """Periodic epoch compaction (the missing lifecycle step for a
-    long-lived streamed index): re-merge ALL level-0 segments with
-    CONTIGUOUS segment ranges over the now-known effective-bucket space
-    and full tail consolidation, then atomically republish.
+def compact_index(spark: SparkSession, index_dir: str,
+                  max_segments: int | None = None,
+                  build_id: str | None = None) -> dict:
+    """Compaction for ANY published index — streamed or batch-built
+    (VERDICT r04 missing #3: the delete/compact lifecycle used to be
+    wired only for streamed indexes; purge_level0/purge_docmap and the
+    merge are layout-agnostic, so one surface serves both). Purges
+    tombstoned docs physically, re-merges ALL level-0 segments with
+    CONTIGUOUS segment ranges and full tail consolidation, re-exacts
+    the corpus stats, and atomically republishes.
 
-    After compaction ≤1 block per (segment, term) is short, so per-term
+    For a streamed index this is the periodic epoch compaction: after
+    it, ≤1 block per (segment, term) is short, so per-term
     fragmentation no longer grows with epoch count. Correctness:
     effective bucket = epoch·n_buckets + bucket, so contiguous
     effective-bucket ranges are epoch-contiguous docid ranges, and the
@@ -460,7 +517,14 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
     DOC_BUCKET_SHIFT + seg_shift (a consolidated block never crosses a
     segment boundary). Future epochs append NEW effective buckets;
     finalize/compact re-derive the published layout from level-0, so
-    compaction is a pure re-layout — idempotent and repeatable."""
+    compaction is a pure re-layout — idempotent and repeatable.
+
+    For a batch index it is delete-purge + force-merge over the
+    original staging segments (reference anchor: per-doc delete
+    semantics, esbulk/esbulk.go:190-197). Identity fields (build_id,
+    n_buckets, input lineage) are carried over from the prior
+    manifest, not reset to streaming defaults (ADVICE r04).
+    ``max_segments`` defaults to the prior manifest's value."""
     from ..build import merge_segments
     from ..sources.tables import load_manifest, publish_manifest
     from .deletes import (
@@ -470,6 +534,8 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
 
     prior = load_manifest(index_dir)
     layout = IndexLayout(index_dir, _resolve_build_id(prior, build_id))
+    if max_segments is None:
+        max_segments = int(prior.get("max_segments", 5))
     # Physical delete (the Lucene merge-purge step): drop tombstoned
     # postings from level-0 and rows from the docmap BEFORE the merge,
     # so the republished stats (df, cf, n_docs, avgdl) are exact for
@@ -499,7 +565,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
     )
     manifest = _stats_and_publish(
         spark, layout, max_segments, merged["prune_shift"],
-        total_tokens=merged["total_tokens"],
+        total_tokens=merged["total_tokens"], prior=prior,
     )
     if tomb.size:
         # Cleared only after the purged index is published; a crash
@@ -508,3 +574,8 @@ def compact_streamed_index(spark: SparkSession, index_dir: str,
         # the anti-join verify resolves them correctly (conservative).
         clear_tombstones(index_dir)
     return manifest
+
+
+# Back-compat name: compaction was first wired for streamed indexes
+# only; the implementation is layout-agnostic (see compact_index).
+compact_streamed_index = compact_index
