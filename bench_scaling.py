@@ -313,6 +313,30 @@ window; raw stage rows recorded in the round-4 session):
   reported number is a per-metric min over ≥3 repeats with raw samples
   published.
 
+## Operator measurements (round 5)
+
+- **Serving metadata sidecar** (`rg_stats.parquet`): the reader's
+  term/docid interval indexes now load from ONE build-time artifact —
+  constructing both indexes over a 200+-row-group index opens ZERO data
+  files (test-asserted; the old footer walk opened every postings +
+  docmap file per reader per publish). The scan runs once per publish,
+  driver-side below 128 files and as a distributed mapInPandas above.
+- **Dictionary fused into merge**: df/cf derive from the merge's own
+  level-0 stats aggregation (invariant under tail consolidation) — the
+  finalize stage no longer re-scans the published postings; at ≤1M
+  terms the dictionary is one pyarrow-written sorted file, zero extra
+  Spark jobs.
+- **Delete/compact generalized to batch-built indexes**: one
+  `compact_index` surface purges, re-merges, re-exacts stats and
+  republishes for streamed and batch layouts alike; post-compact
+  results equal a fresh build bit-exactly on both (test-asserted), and
+  a delete issued AFTER compaction stays exact against spanning
+  consolidated blocks vs the exhaustive oracle.
+- **Huge-overlap streaming dedup fallback is bucket-pruned**: above the
+  isin budget, the verify anti-join's docmap read is restricted to the
+  batch's base buckets × known epochs (effective-bucket isin literals →
+  row-group stats pruning; telemetry in last_dedup_stats).
+
 ## Operator measurements (round 4)
 
 - **Serving lookups are searchsorted, caches byte-bounded**: docmap url
