@@ -91,12 +91,16 @@ def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
 # ---------------------------------------------------------------------------
 
 def _code_rev() -> str:
+    # Keyed on the CONTENT that determines the measurement (the engine
+    # tree + this harness), not HEAD: doc-only commits made while a
+    # long run is in flight must not invalidate its checkpoint.
     try:
         out = subprocess.run(
-            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            ["git", "-C", REPO, "rev-parse",
+             "HEAD:escp_spark", "HEAD:bench_scaling.py"],
             capture_output=True, text=True,
         )
-        rev = out.stdout.strip()
+        rev = "-".join(h[:8] for h in out.stdout.split())
         dirty = subprocess.run(
             ["git", "-C", REPO, "status", "--porcelain",
              "escp_spark", "bench_scaling.py"],
