@@ -147,8 +147,23 @@ def _best_run(cpus: int, corpus: str, n_docs: int, repeats: int,
         if runs:
             print(f"# resumed {len(runs)} completed sample(s) at local[{cpus}]",
                   file=sys.stderr)
+        fails = 0
         while len(runs) < repeats:
-            r = run_level(cpus, corpus, n_docs)
+            # A sample can die to the HOST, not the engine (e.g. an
+            # executor self-terminating after minutes of stalled
+            # heartbeats during a VM-exit storm). Retry the sample a
+            # bounded number of times rather than aborting the whole
+            # multi-hour run; failures produce no number so they cannot
+            # distort the min-of-N.
+            try:
+                r = run_level(cpus, corpus, n_docs)
+            except (RuntimeError, subprocess.TimeoutExpired) as e:
+                fails += 1
+                print(f"# sample FAILED ({fails}) at local[{cpus}]: "
+                      f"{str(e)[-500:]}", file=sys.stderr)
+                if fails > 2 * repeats:
+                    raise
+                continue
             runs.append(r)
             ckpt["samples"].append(r)
             _ckpt_save(ckpt, n_docs, levels)

@@ -68,6 +68,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Liveness hardening: executor→driver heartbeats are advisory in
+        # single-JVM local mode, but this sandbox's documented VM-exit
+        # stalls can starve even JVM threads for minutes — a 2M-doc
+        # scaling sample died mid-query with "unable to send heartbeats
+        # to driver more than 60 times" (10 min of 10 s timeouts) while
+        # the work itself was fine. Long intervals + a high failure
+        # budget make local executors survive any stall; a real cluster
+        # deployment overrides these via spark-submit --conf.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "1200s")
+        .config("spark.executor.heartbeat.maxFailures", "600")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
