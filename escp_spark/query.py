@@ -785,6 +785,14 @@ def search_topk(index_dir: str, queries: list[dict],
 # (ADVICE r03: unbounded isin literals blow up plan serialization).
 _ISIN_PUSHDOWN_MAX = 10_000
 
+# Phase telemetry of the last search_topk_spark call (the batch-path
+# analog of build.last_build_timings): "plan" = driver-side query
+# planning incl. the dictionary df lookup; "score" = the distributed
+# scan+score+rank job through the candidate collect. The caller's
+# final collect pays the (small) docmap-join stage, so plan + score +
+# caller-side ≈ wall time of a batch.
+last_batch_timings: dict = {}
+
 def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     """Distributed batch scoring of a query set → DataFrame
     (query_id int, rank int, doc_url string, score double).
@@ -803,6 +811,9 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     manifest = load_manifest(index_dir)
     paths = manifest["paths"]
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
@@ -954,7 +965,11 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     # instead of a full scan of a table with one row per corpus doc
     # (10^12 at design scale). Mirrors the serving path's urls_for
     # pushdown (VERDICT r02 wrong-#3).
+    last_batch_timings["plan"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
     cand_rows = cand.select("query_id", "doc_id", "score", "k").collect()
+    last_batch_timings["score"] = round(_time.perf_counter() - _t0, 3)
+    last_batch_timings["candidates"] = len(cand_rows)
     cand = spark.createDataFrame(
         cand_rows, "query_id int, doc_id long, score double, k int"
     )
