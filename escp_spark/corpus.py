@@ -172,3 +172,29 @@ def reference_queries() -> list[dict]:
         )
         qid += 1
     return qs
+
+
+def scale_queries(n_queries: int, seed: int = SEED) -> list[dict]:
+    """Deterministic saturation workload for throughput-scaling runs.
+
+    `n_queries` mixed-frequency 2-term queries drawn across the whole
+    Zipf vocabulary (same construction as the widened tail of
+    reference_queries, but sized to the caller). Unlike tiling the
+    50-query reference set with fresh qids, the terms here are distinct
+    draws, so EVERY stage of the batch path — posting decode, the
+    (posting x query) expansion, and the score aggregation — grows with
+    the batch, the way a real multi-tenant query mix does. Used by
+    bench_scaling.py to measure marginal per-query scaling with the
+    fixed per-batch driver cost amortized away.
+    """
+    vocab = _vocab()
+    rng = np.random.default_rng(seed + 7)
+    idx = rng.integers(0, VOCAB_SIZE, size=(n_queries, 2))
+    return [
+        {
+            "query_id": 1_000_000 + i,
+            "query_text": f"{vocab[a]} {vocab[b]}",
+            "k": 10,
+        }
+        for i, (a, b) in enumerate(idx)
+    ]

@@ -785,12 +785,21 @@ def search_topk(index_dir: str, queries: list[dict],
 # (ADVICE r03: unbounded isin literals blow up plan serialization).
 _ISIN_PUSHDOWN_MAX = 10_000
 
+# Published-postings size (bytes) above which the batch path switches to
+# its large-index shapes: decode rebalance + value-count threshold cut.
+# Below it, the matched set fits one scan wave and the batch is
+# driver-scheduling-bound, so the job-count-minimal shapes win (measured
+# crossover is between the 50k-doc sf0.1 index ~5 MB and the 2M-doc
+# index ~275 MB). Module-level so tests can force either side.
+_BIG_INDEX_BYTES = 64 << 20
+
 # Phase telemetry of the last search_topk_spark call (the batch-path
 # analog of build.last_build_timings): "plan" = driver-side query
-# planning incl. the dictionary df lookup; "score" = the distributed
-# scan+score+rank job through the candidate collect. The caller's
-# final collect pays the (small) docmap-join stage, so plan + score +
-# caller-side ≈ wall time of a batch.
+# planning incl. the pyarrow dictionary df lookup; "score" = the big
+# scan+score+aggregate job (populates the persisted scores and returns
+# the threshold survivors); "cut" = the threshold filter + candidate
+# collect off the cache. The caller's final collect pays the (small)
+# docmap-join stage, so plan + score + cut + caller-side ≈ wall time.
 last_batch_timings: dict = {}
 
 def search_topk_spark(spark, index_dir: str, queries: list[dict]):
@@ -825,19 +834,37 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_url string, score double"
         )
-    dfs_rows = (
-        spark.read.parquet(paths["dictionary"])
-        .filter(F.col("term").isin(all_terms))
-        .collect()
+    # Driver-side pyarrow read, not a Spark job: the dictionary is
+    # term-sorted so the isin filter prunes to the row groups holding
+    # the query terms (the same stats-pruned path IndexReader.term_dfs
+    # serves from) — profiled, the Spark-job version of this lookup was
+    # a ~1.5-2 s fixed stage at every parallelism level.
+    dt = pads.dataset(paths["dictionary"], format="parquet").to_table(
+        columns=["term", "df"], filter=pads.field("term").isin(all_terms)
     )
-    dfs = {r.term: r.df for r in dfs_rows}
+    dfs = dict(zip(dt["term"].to_pylist(), dt["df"].to_pylist()))
     for q in queries:
         for t, c in Counter(tokenize(q["query_text"])).items():
             if t in dfs:
                 q_terms[t].append(
                     (q["query_id"], float(c) * float(idf_lucene(n_docs, dfs[t])))
                 )
-    plan_bc = spark.sparkContext.broadcast(dict(q_terms))
+    # Per-query weighting happens JVM-side (broadcast join + hash agg):
+    # python tasks only decode and compute the query-independent BM25
+    # base per posting, keyed by a dense integer term id. The old shape
+    # expanded (posting x query) rows in python (a copy of the ids
+    # array per query containing the term) and partial-aggregated them
+    # with a lexsort — profiled at 2M docs/200 queries, that expansion
+    # plus combine was the bulk of ~250 python core-seconds while the
+    # JVM hash-agg does the same expansion inside whole-stage codegen.
+    tid_of = {t: i for i, t in enumerate(all_terms) if t in q_terms}
+    w_rows = [
+        (tid, qid, w)
+        for t, tid in tid_of.items()
+        for qid, w in q_terms[t]
+    ]
+    wdf = spark.createDataFrame(w_rows, "tid int, query_id int, w double")
+    plan_bc = spark.sparkContext.broadcast(tid_of)
     avgdl_bc = avgdl
     # Soft-deleted doc_ids (streamed update/delete): dropped at decode
     # time inside the scoring tasks, mirroring the serving path.
@@ -846,43 +873,31 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     tombstones = load_tombstones(index_dir)
     tomb_bc = spark.sparkContext.broadcast(tombstones)
 
-    # Flush the in-task partial combine every ~1M expanded (query, doc,
-    # contrib) rows: the lexsort-based combine then touches ~24 MB of
-    # reusable arena pages per flush instead of one unbounded
-    # batch-sized concat (a hot 50-query batch expands a 10k-block Arrow
-    # batch to >100 MB of fresh pages — the partial agg is a shuffle-size
-    # optimization, so flushing early only costs a few duplicate
-    # (query, doc) partials that groupBy re-aggregates anyway).
-    _COMBINE_FLUSH_ROWS = 1 << 20
+    # Flush the per-posting output every ~512k rows so each yielded
+    # Arrow batch concatenates ~10 MB of reusable arena pages instead of
+    # one unbounded task-sized buffer (this host taxes fresh-page bursts
+    # heavily — CLAUDE.md).
+    _EMIT_FLUSH_ROWS = 1 << 19
 
     def score_partition(batches):
-        def combine(qids_out, dids_out, contribs_out):
-            qid = np.concatenate(qids_out)
-            did = np.concatenate(dids_out)
-            con = np.concatenate(contribs_out)
-            # In-task partial aggregation (map-side combine).
-            order = np.lexsort((did, qid))
-            qid, did, con = qid[order], did[order], con[order]
-            new = np.concatenate(
-                ([True], (qid[1:] != qid[:-1]) | (did[1:] != did[:-1]))
-            )
-            starts = np.flatnonzero(new)
+        def emit(tids_out, dids_out, base_out):
             return pd.DataFrame(
                 {
-                    "query_id": qid[starts],
-                    "doc_id": did[starts],
-                    "partial": np.add.reduceat(con, starts),
+                    "tid": np.concatenate(tids_out),
+                    "doc_id": np.concatenate(dids_out),
+                    "base": np.concatenate(base_out),
                 }
             )
 
         for pdf in batches:
-            plan = plan_bc.value
-            qids_out, dids_out, contribs_out, pending = [], [], [], 0
-            # Group rows by term: one bulk vectorized decode per term, then
-            # one (qid, weight) broadcast per query containing it.
+            tid_map = plan_bc.value
+            tids_out, dids_out, base_out, pending = [], [], [], 0
+            # Group rows by term: one bulk vectorized decode per term;
+            # ONE output row per live posting regardless of how many
+            # queries reference the term.
             for term, g in pdf.groupby("term", sort=False):
-                targets = plan.get(term)
-                if not targets:
+                tid = tid_map.get(term)
+                if tid is None:
                     continue
                 ids, tfs, dls, _ = decode_blocks_bulk(
                     list(g["doc_ids"]), list(g["tfs"]), list(g["dls"]),
@@ -893,67 +908,204 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                     m = live_mask(ids, tomb)
                     ids, tfs, dls = ids[m], tfs[m], dls[m]
                 base = bm25_contrib(tfs, dls, avgdl_bc, 1.0)
-                ids64 = ids.astype(np.int64)
-                for qid, w in targets:
-                    qids_out.append(np.full(ids64.size, qid, dtype=np.int64))
-                    dids_out.append(ids64)
-                    contribs_out.append(base * w)
-                    pending += ids64.size
-                    # Check inside the per-qid loop: a hot term hit by many
-                    # queries would otherwise expand the whole target list
-                    # in one unchecked burst of fresh pages (ADVICE r02).
-                    if pending >= _COMBINE_FLUSH_ROWS:
-                        yield combine(qids_out, dids_out, contribs_out)
-                        qids_out, dids_out, contribs_out, pending = [], [], [], 0
-            if qids_out:
-                yield combine(qids_out, dids_out, contribs_out)
+                tids_out.append(np.full(ids.size, tid, dtype=np.int32))
+                dids_out.append(ids.astype(np.int64))
+                base_out.append(base)
+                pending += ids.size
+                if pending >= _EMIT_FLUSH_ROWS:
+                    yield emit(tids_out, dids_out, base_out)
+                    tids_out, dids_out, base_out, pending = [], [], [], 0
+            if tids_out:
+                yield emit(tids_out, dids_out, base_out)
 
+    try:
+        post_bytes = sum(
+            os.path.getsize(os.path.join(r, fn))
+            for r, _, fns in os.walk(paths["postings"])
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+    except OSError:
+        post_bytes = 0
     postings = (
         spark.read.parquet(paths["postings"])
         .filter(F.col("term").isin(all_terms))
         .select("term", "n", "doc_ids", "tfs", "dls")
     )
+    # Explicit skew rebalance before the CPU-heavy decode: the scan's
+    # parallelism bottoms out at parquet row-group granularity, and the
+    # postings are TERM-SORTED — a hot term's blocks cluster in a few
+    # row groups, so one scan task can hold most of the decode work
+    # (profiled at 2M docs: max decode task 32 s vs an 11 s mean; after
+    # the rebalance max task 4.7 s). Hash on (term, doc_ids) spreads a
+    # single hot term's blocks too — every block has distinct doc_ids
+    # bytes — and is deterministic under task retry (unlike round-robin
+    # repartition, which also local-sorts the block payloads). Shuffled
+    # bytes = matched blocks only (~10 core-s vs the ~80 core-s decode
+    # it balances). Skipped when the matched set is small enough that
+    # one scan wave covers it — the shuffle would only add a barrier.
+    if post_bytes > _BIG_INDEX_BYTES:
+        n_parts = max(16, spark.sparkContext.defaultParallelism * 3)
+        postings = postings.repartition(
+            n_parts, F.xxhash64("term", "doc_ids")
+        )
     partials = postings.mapInPandas(
-        score_partition, "query_id int, doc_id long, partial double"
+        score_partition, "tid int, doc_id long, base double"
     )
-    scores = partials.groupBy("query_id", "doc_id").agg(
-        F.sum("partial").alias("score")
-    )
-
-    # Salted tie-complete top-k BEFORE the per-query rank window. After
-    # the groupBy, every (query_id, doc_id) score is FINAL, so a cut at
-    # the k-th largest score WITHIN any disjoint subset is rank-safe: a
-    # cut row has ≥ k rows of its own query strictly above it in its
-    # subset, hence ≥ k globally, hence it can never be in the global
-    # tie-complete top-k (rank() keeps boundary ties at both stages).
-    # The subsets are (query_id, hash-salt) groups, so the heavy sort is
-    # spread over n_salts groups per query and the final window ranks
-    # ≤ n_salts × (k + ties) rows per query — without this, a hot
-    # single-term query ships its entire candidate set (≈ all docs at
-    # 100×) into ONE window partition. Stays entirely JVM-side: an
-    # earlier mapInPandas variant of this cut serialized the full
-    # ~10^7-row candidate set through Arrow→Python and was 10× slower
-    # than Tungsten's window sort at the 2M-doc scale.
-    k_max = max(q["k"] for q in queries)
-    n_salts = max(32, spark.sparkContext.defaultParallelism * 2)
-    w_salt = Window.partitionBy(
-        "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
-    ).orderBy(F.col("score").desc())
-    bounded = (
-        scores.withColumn("rk_s", F.rank().over(w_salt))
-        .filter(F.col("rk_s") <= F.lit(k_max))
-        .drop("rk_s")
+    # Expansion to (posting x query) happens HERE, inside whole-stage
+    # codegen: broadcast-join the tiny (tid, query_id, weight) table and
+    # hash-aggregate — the partial agg in the scan stage collapses
+    # duplicate (query_id, doc_id) keys before the shuffle exactly like
+    # the old python-side combine did, at Tungsten cost per row.
+    scores = (
+        partials.join(F.broadcast(wdf), "tid")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("base") * F.col("w")).alias("score"))
     )
 
+    # Split-size the postings scan to the session's parallelism (the
+    # scan runs inside the first collect below): the merged postings of
+    # a 2M-doc index are ~40 files / ~280 MB, which the session-wide
+    # 32 MB splits bin-pack into ~14 tasks — two ragged waves at 8 cores
+    # (profiled max task 35 s vs ~24 s mean) while the work inside is
+    # row-group-pruned and CPU-heavy. Target ~3 waves of small splits
+    # per core so pruned-empty splits cost nothing and hot row groups
+    # spread across tasks; cap at 16 MB (2 postings row groups) — with
+    # term-isin row-group pruning the matched work concentrates in few
+    # splits, and a 32 MB cap left one local[2] task holding 69 s of the
+    # 82 core-second scan. (At cluster scale the same rule holds per
+    # executor core; bytes come from a driver-side listing — the
+    # rg_stats sidecar carries them when the FS walk is remote.)
+    from .build import _scoped_conf
+
+    scan_conf = {}
+    if post_bytes:
+        par = max(1, spark.sparkContext.defaultParallelism)
+        target = min(16 << 20, max(2 << 20, post_bytes // (3 * par)))
+        scan_conf = {
+            "spark.sql.files.maxPartitionBytes": str(int(target)),
+            "spark.sql.files.openCostInBytes": str(256 << 10),
+        }
     kdf = spark.createDataFrame(
         [(q["query_id"], q["k"]) for q in queries], "query_id int, k int"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
-    cand = (
-        bounded.join(F.broadcast(kdf), "query_id")
-        .withColumn("rk", F.rank().over(w))         # rank() keeps boundary ties
-        .filter(F.col("rk") <= F.col("k"))
-    )
+    n_salts = max(32, spark.sparkContext.defaultParallelism * 2)
+    last_batch_timings["plan"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
+    # Tie-complete top-k cut. Two strategies, chosen by index size —
+    # the same explicit small/large split the merge placement uses
+    # (driver fast path <= 1M terms, distributed prefix sum above):
+    #
+    # SMALL index (everything fits one scan wave): salted rank() pre-cut
+    # feeding a per-query rank() window, candidates collected in ONE
+    # job. After the groupBy every (query_id, doc_id) score is FINAL, so
+    # a cut at the k-th largest score WITHIN any disjoint subset is
+    # rank-safe: a cut row has >= k rows of its own query strictly above
+    # it in its subset, hence >= k globally (rank() keeps boundary ties
+    # at both stages). Job-count-minimal — at 50k docs the whole batch
+    # is driver-scheduling-bound, and this shape measured ~1.4 s faster
+    # per 50-query batch than the threshold strategy in a same-window
+    # A/B.
+    #
+    # LARGE index: the window sort over the full candidate set is the
+    # bottleneck — profiled at 2M docs / 200 queries the two window
+    # stages burned ~270 JVM core-seconds, and the salt cut passed 59%
+    # of rows through because quantized BM25 scores form large tie
+    # plateaus whose within-salt strict-higher count stays below k even
+    # when their global rank is far beyond it. Instead: a row belongs to
+    # the tie-complete top-k of its query iff score >= s_k (the
+    # per-query k-th largest score, multiplicity counted), and s_k comes
+    # from a per-(query, score) VALUE-COUNT table — a hash aggregation
+    # whose map-side combine collapses each tie plateau to one row per
+    # task, so the window sorts only distinct-score rows, never the
+    # candidate rows:
+    #   window (query, salt(score)): keep values whose within-salt
+    #     strictly-higher count < k. Every value > s_k survives (its
+    #     global strict-higher count is already < k), and each survivor
+    #     adds >= 1 to its salt's cumulative count, so a salt keeps at
+    #     most k values — the survivor set is DRIVER-SIZED BY
+    #     CONSTRUCTION (<= |queries| x n_salts x k_max rows).
+    #   driver merge (per query): the cumulative counts over survivors
+    #     are exact at and above s_k; s_k = min value with cum < k.
+    # scores is persisted across its two consumers (threshold job +
+    # final filter); the filter then collects exactly the tie-complete
+    # candidates.
+    if post_bytes <= _BIG_INDEX_BYTES:
+        k_max = max(q["k"] for q in queries)
+        w_salt_r = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+        ).orderBy(F.col("score").desc())
+        bounded = (
+            scores.withColumn("rk_s", F.rank().over(w_salt_r))
+            .filter(F.col("rk_s") <= F.lit(k_max))
+            .drop("rk_s")
+        )
+        w_q = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+        cand = (
+            bounded.join(F.broadcast(kdf), "query_id")
+            .withColumn("rk", F.rank().over(w_q))  # rank() keeps ties
+            .filter(F.col("rk") <= F.col("k"))
+        )
+        with _scoped_conf(spark, scan_conf):
+            cand_rows = cand.select(
+                "query_id", "doc_id", "score", "k"
+            ).collect()
+        last_batch_timings["score"] = round(_time.perf_counter() - _t0, 3)
+        last_batch_timings["cut"] = 0.0
+    else:
+        scores = scores.persist()
+        vc = (
+            scores.groupBy("query_id", "score")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .join(F.broadcast(kdf), "query_id")
+        )
+        w_salt = (
+            Window.partitionBy(
+                "query_id", F.pmod(F.xxhash64("score"), F.lit(n_salts))
+            )
+            .orderBy(F.col("score").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        with _scoped_conf(spark, scan_conf):
+            surv = (
+                vc.withColumn(
+                    "hi_s", F.coalesce(F.sum("c").over(w_salt), F.lit(0))
+                )
+                .filter(F.col("hi_s") < F.col("k"))
+                .select("query_id", "score", "c")
+                .collect()
+            )
+        last_batch_timings["score"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+        by_q: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        for r in surv:
+            by_q[r.query_id].append((r.score, r.c))
+        k_of = {q["query_id"]: q["k"] for q in queries}
+        thr_rows = []
+        for qid, vals in by_q.items():
+            vals.sort(key=lambda t: -t[0])
+            hi, kq, thr_v = 0, k_of[qid], vals[0][0]
+            for v, c in vals:
+                if hi >= kq:
+                    break
+                thr_v = v
+                hi += c
+            thr_rows.append((qid, thr_v))
+        thr = spark.createDataFrame(thr_rows, "query_id int, thr double")
+        cand = (
+            scores.join(F.broadcast(thr), "query_id")
+            .filter(F.col("score") >= F.col("thr"))
+            .join(F.broadcast(kdf), "query_id")
+        )
+        # (Same scoped split conf as the threshold job: if the cached
+        # scores were evicted this collect re-runs the scan.)
+        with _scoped_conf(spark, scan_conf):
+            cand_rows = cand.select(
+                "query_id", "doc_id", "score", "k"
+            ).collect()
+        scores.unpersist()
+        last_batch_timings["cut"] = round(_time.perf_counter() - _t0, 3)
     # The tie-complete candidate set is driver-sized by construction
     # (≤ Σ_q (k_q + boundary ties)). Collect it ONCE — that both cuts the
     # scoring lineage (the final query re-plans from a literal local
@@ -965,10 +1117,6 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     # instead of a full scan of a table with one row per corpus doc
     # (10^12 at design scale). Mirrors the serving path's urls_for
     # pushdown (VERDICT r02 wrong-#3).
-    last_batch_timings["plan"] = round(_time.perf_counter() - _t0, 3)
-    _t0 = _time.perf_counter()
-    cand_rows = cand.select("query_id", "doc_id", "score", "k").collect()
-    last_batch_timings["score"] = round(_time.perf_counter() - _t0, 3)
     last_batch_timings["candidates"] = len(cand_rows)
     cand = spark.createDataFrame(
         cand_rows, "query_id int, doc_id long, score double, k int"
