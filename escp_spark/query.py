@@ -1055,56 +1055,62 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         last_batch_timings["cut"] = 0.0
     else:
         scores = scores.persist()
-        vc = (
-            scores.groupBy("query_id", "score")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .join(F.broadcast(kdf), "query_id")
-        )
-        w_salt = (
-            Window.partitionBy(
-                "query_id", F.pmod(F.xxhash64("score"), F.lit(n_salts))
+        try:
+            vc = (
+                scores.groupBy("query_id", "score")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .join(F.broadcast(kdf), "query_id")
             )
-            .orderBy(F.col("score").desc())
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        with _scoped_conf(spark, scan_conf):
-            surv = (
-                vc.withColumn(
-                    "hi_s", F.coalesce(F.sum("c").over(w_salt), F.lit(0))
+            w_salt = (
+                Window.partitionBy(
+                    "query_id", F.pmod(F.xxhash64("score"), F.lit(n_salts))
                 )
-                .filter(F.col("hi_s") < F.col("k"))
-                .select("query_id", "score", "c")
-                .collect()
+                .orderBy(F.col("score").desc())
+                .rowsBetween(Window.unboundedPreceding, -1)
             )
-        last_batch_timings["score"] = round(_time.perf_counter() - _t0, 3)
-        _t0 = _time.perf_counter()
-        by_q: dict[int, list[tuple[float, int]]] = defaultdict(list)
-        for r in surv:
-            by_q[r.query_id].append((r.score, r.c))
-        k_of = {q["query_id"]: q["k"] for q in queries}
-        thr_rows = []
-        for qid, vals in by_q.items():
-            vals.sort(key=lambda t: -t[0])
-            hi, kq, thr_v = 0, k_of[qid], vals[0][0]
-            for v, c in vals:
-                if hi >= kq:
-                    break
-                thr_v = v
-                hi += c
-            thr_rows.append((qid, thr_v))
-        thr = spark.createDataFrame(thr_rows, "query_id int, thr double")
-        cand = (
-            scores.join(F.broadcast(thr), "query_id")
-            .filter(F.col("score") >= F.col("thr"))
-            .join(F.broadcast(kdf), "query_id")
-        )
-        # (Same scoped split conf as the threshold job: if the cached
-        # scores were evicted this collect re-runs the scan.)
-        with _scoped_conf(spark, scan_conf):
-            cand_rows = cand.select(
-                "query_id", "doc_id", "score", "k"
-            ).collect()
-        scores.unpersist()
+            with _scoped_conf(spark, scan_conf):
+                surv = (
+                    vc.withColumn(
+                        "hi_s", F.coalesce(F.sum("c").over(w_salt), F.lit(0))
+                    )
+                    .filter(F.col("hi_s") < F.col("k"))
+                    .select("query_id", "score", "c")
+                    .collect()
+                )
+            last_batch_timings["score"] = round(
+                _time.perf_counter() - _t0, 3
+            )
+            _t0 = _time.perf_counter()
+            by_q: dict[int, list[tuple[float, int]]] = defaultdict(list)
+            for r in surv:
+                by_q[r.query_id].append((r.score, r.c))
+            k_of = {q["query_id"]: q["k"] for q in queries}
+            thr_rows = []
+            for qid, vals in by_q.items():
+                vals.sort(key=lambda t: -t[0])
+                hi, kq, thr_v = 0, k_of[qid], vals[0][0]
+                for v, c in vals:
+                    if hi >= kq:
+                        break
+                    thr_v = v
+                    hi += c
+                thr_rows.append((qid, thr_v))
+            thr = spark.createDataFrame(thr_rows, "query_id int, thr double")
+            cand = (
+                scores.join(F.broadcast(thr), "query_id")
+                .filter(F.col("score") >= F.col("thr"))
+                .join(F.broadcast(kdf), "query_id")
+            )
+            # (Same scoped split conf as the threshold job: if the cached
+            # scores were evicted this collect re-runs the scan.)
+            with _scoped_conf(spark, scan_conf):
+                cand_rows = cand.select(
+                    "query_id", "doc_id", "score", "k"
+                ).collect()
+        finally:
+            # A long-lived session must not leak cached score RDDs when a
+            # collect dies mid-batch (host kill, cancellation).
+            scores.unpersist()
         last_batch_timings["cut"] = round(_time.perf_counter() - _t0, 3)
     # The tie-complete candidate set is driver-sized by construction
     # (≤ Σ_q (k_q + boundary ties)). Collect it ONCE — that both cuts the
