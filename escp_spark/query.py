@@ -785,13 +785,17 @@ def search_topk(index_dir: str, queries: list[dict],
 # (ADVICE r03: unbounded isin literals blow up plan serialization).
 _ISIN_PUSHDOWN_MAX = 10_000
 
-# Published-postings size (bytes) above which the batch path switches to
-# its large-index shapes: decode rebalance + value-count threshold cut.
-# Below it, the matched set fits one scan wave and the batch is
-# driver-scheduling-bound, so the job-count-minimal shapes win (measured
-# crossover is between the 50k-doc sf0.1 index ~5 MB and the 2M-doc
-# index ~275 MB). Module-level so tests can force either side.
-_BIG_INDEX_BYTES = 64 << 20
+# Matched work (sum of document frequencies over the batch's distinct
+# matched terms — known driver-side from the dictionary lookup, BEFORE
+# any job runs) above which the batch path switches to its big-batch
+# shapes: decode rebalance + value-count threshold cut. Below it the
+# batch is driver-scheduling-bound, so the job-count-minimal shapes win.
+# Keyed on the BATCH's work, not the index's size: a single rare-term
+# query against a 10^12-doc index is still a small batch. (Measured
+# crossover is between the 50-query sf0.1 reference batch ~0.5M matched
+# postings and the 200-query 2M-doc batch ~30M.) Module-level so tests
+# can force either side.
+_BIG_MATCHED_POSTINGS = 4_000_000
 
 # Phase telemetry of the last search_topk_spark call (the batch-path
 # analog of build.last_build_timings): "plan" = driver-side query
@@ -864,6 +868,11 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
         for qid, w in q_terms[t]
     ]
     wdf = spark.createDataFrame(w_rows, "tid int, query_id int, w double")
+    # The batch's distributed work, known before any job runs: one decode
+    # + one base-score row per matched posting. Drives the big-batch
+    # shape choices below.
+    matched_postings = sum(dfs[t] for t in q_terms)
+    big_batch = matched_postings > _BIG_MATCHED_POSTINGS
     plan_bc = spark.sparkContext.broadcast(tid_of)
     avgdl_bc = avgdl
     # Soft-deleted doc_ids (streamed update/delete): dropped at decode
@@ -918,15 +927,31 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
             if tids_out:
                 yield emit(tids_out, dids_out, base_out)
 
+    # Published-postings size: drives the scan-split sizing only (the
+    # shape choices key on matched_postings). Local FS walk first; on a
+    # remote FS (s3a/hdfs — os.walk yields nothing) fall back to the
+    # rg_stats sidecar's payload_bytes sum, which the build persists for
+    # exactly this kind of listing-free consumer.
+    from .build import _dir_bytes
+
     try:
-        post_bytes = sum(
-            os.path.getsize(os.path.join(r, fn))
-            for r, _, fns in os.walk(paths["postings"])
-            for fn in fns
-            if fn.endswith(".parquet")
-        )
+        post_bytes = _dir_bytes(paths["postings"])
     except OSError:
         post_bytes = 0
+    if not post_bytes:
+        try:
+            import pyarrow.parquet as _pq
+
+            sc_tbl = _pq.read_table(
+                os.path.join(index_dir, "rg_stats.parquet"),
+                columns=["kind", "payload_bytes"],
+            )
+            pdf_sc = sc_tbl.to_pandas()
+            post_bytes = int(
+                pdf_sc.loc[pdf_sc["kind"] == "postings", "payload_bytes"].sum()
+            )
+        except Exception:
+            post_bytes = 0
     postings = (
         spark.read.parquet(paths["postings"])
         .filter(F.col("term").isin(all_terms))
@@ -942,9 +967,9 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     # bytes — and is deterministic under task retry (unlike round-robin
     # repartition, which also local-sorts the block payloads). Shuffled
     # bytes = matched blocks only (~10 core-s vs the ~80 core-s decode
-    # it balances). Skipped when the matched set is small enough that
-    # one scan wave covers it — the shuffle would only add a barrier.
-    if post_bytes > _BIG_INDEX_BYTES:
+    # it balances). Skipped when the batch's matched work is small enough
+    # that one scan wave covers it — the shuffle would only add a barrier.
+    if big_batch:
         n_parts = max(16, spark.sparkContext.defaultParallelism * 3)
         postings = postings.repartition(
             n_parts, F.xxhash64("term", "doc_ids")
@@ -993,22 +1018,24 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     last_batch_timings["plan"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
-    # Tie-complete top-k cut. Two strategies, chosen by index size —
-    # the same explicit small/large split the merge placement uses
-    # (driver fast path <= 1M terms, distributed prefix sum above):
+    # Tie-complete top-k cut. Two strategies, chosen by the batch's
+    # matched work (sum of matched-term dfs, known driver-side) — the
+    # same explicit small/large split the merge placement uses (driver
+    # fast path <= 1M terms, distributed prefix sum above):
     #
-    # SMALL index (everything fits one scan wave): salted rank() pre-cut
-    # feeding a per-query rank() window, candidates collected in ONE
-    # job. After the groupBy every (query_id, doc_id) score is FINAL, so
-    # a cut at the k-th largest score WITHIN any disjoint subset is
-    # rank-safe: a cut row has >= k rows of its own query strictly above
-    # it in its subset, hence >= k globally (rank() keeps boundary ties
-    # at both stages). Job-count-minimal — at 50k docs the whole batch
-    # is driver-scheduling-bound, and this shape measured ~1.4 s faster
-    # per 50-query batch than the threshold strategy in a same-window
-    # A/B.
+    # SMALL batch (matched work fits one scan wave): salted rank()
+    # pre-cut feeding a per-query rank() window, candidates collected in
+    # ONE job. After the groupBy every (query_id, doc_id) score is
+    # FINAL, so a cut at the k-th largest score WITHIN any disjoint
+    # subset is rank-safe: a cut row has >= k rows of its own query
+    # strictly above it in its subset, hence >= k globally (rank() keeps
+    # boundary ties at both stages). Job-count-minimal — at 50k docs the
+    # whole batch is driver-scheduling-bound, and this shape measured
+    # ~1.4 s faster per 50-query batch than the threshold strategy in a
+    # same-window A/B. (A rare-terms-only batch against a huge index is
+    # still a small batch — the shape follows the work, not the index.)
     #
-    # LARGE index: the window sort over the full candidate set is the
+    # BIG batch: the window sort over the full candidate set is the
     # bottleneck — profiled at 2M docs / 200 queries the two window
     # stages burned ~270 JVM core-seconds, and the salt cut passed 59%
     # of rows through because quantized BM25 scores form large tie
@@ -1031,7 +1058,7 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     # scores is persisted across its two consumers (threshold job +
     # final filter); the filter then collects exactly the tie-complete
     # candidates.
-    if post_bytes <= _BIG_INDEX_BYTES:
+    if not big_batch:
         k_max = max(q["k"] for q in queries)
         w_salt_r = Window.partitionBy(
             "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
@@ -1094,7 +1121,20 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                         break
                     thr_v = v
                     hi += c
-                thr_rows.append((qid, thr_v))
+                # The candidate filter runs against a SECOND evaluation
+                # of scores: if a cached partition was evicted or an
+                # executor died, it is recomputed, and the hash-agg sums
+                # term contributions in shuffle-fetch order — float
+                # addition is not associative, so a recomputed score can
+                # sit an ulp below the thr derived from the first
+                # materialization and silently drop the whole k-th
+                # plateau. Widen the filter by a relative 1e-9 margin
+                # (orders of magnitude above accumulated ulp drift for
+                # <=dozens of terms, orders below the gap between
+                # DISTINCT BM25 values, whose inputs are integers):
+                # extras are harmless — the final row_number window cuts
+                # to exactly k — missing rows break the contract.
+                thr_rows.append((qid, thr_v - abs(thr_v) * 1e-9))
             thr = spark.createDataFrame(thr_rows, "query_id int, thr double")
             cand = (
                 scores.join(F.broadcast(thr), "query_id")

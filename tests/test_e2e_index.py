@@ -65,15 +65,15 @@ def test_spark_batch_path_rank_identical(spark, built_index, oracle_results):
 def test_spark_batch_large_index_strategy_rank_identical(
     spark, built_index, oracle_results, monkeypatch
 ):
-    """The batch path picks its cut strategy by published-postings size
-    (salted-rank one-job cut below _BIG_INDEX_BYTES; decode rebalance +
-    value-count threshold above). The default tests exercise the small
-    side; force the LARGE-index shapes on the same tiny index and assert
-    the exhaustive-oracle rank identity holds there too — the two
-    strategies must be output-identical at every scale."""
+    """The batch path picks its cut strategy by the batch's matched work
+    (salted-rank one-job cut below _BIG_MATCHED_POSTINGS; decode
+    rebalance + value-count threshold above). The default tests exercise
+    the small side; force the BIG-batch shapes on the same tiny index
+    and assert the exhaustive-oracle rank identity holds there too — the
+    two strategies must be output-identical at every scale."""
     import escp_spark.query as Q
 
-    monkeypatch.setattr(Q, "_BIG_INDEX_BYTES", 0)
+    monkeypatch.setattr(Q, "_BIG_MATCHED_POSTINGS", -1)
     index_dir, _ = built_index
     df = search_topk_spark(spark, index_dir, reference_queries())
     rows = [r.asDict() for r in df.collect()]
