@@ -811,14 +811,21 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     (query_id int, rank int, doc_url string, score double).
 
     Scale shape: the postings scan is term-pushdown-pruned (Parquet
-    row-group stats on the sorted term column), scoring happens in
-    `mapInPandas` with in-task partial aggregation so the shuffle into
-    `groupBy(query_id, doc_id)` carries one row per (query, doc, task) —
-    the map-side-combine analog. The aggregated scores then pass a
-    partition-local tie-complete top-k (narrow, rank-safe — see inline
-    proof) so the per-query rank window ranks ≤ n_partitions × k rows,
-    never a hot query's full candidate set. The docmap join only sees the
-    tiny tie-complete candidate set (broadcast), never the full doc space.
+    row-group stats on the sorted term column); python tasks decode each
+    live posting ONCE into a query-independent BM25 base keyed by a
+    dense term id; the (posting × query) expansion and idf/tf weighting
+    run JVM-side (broadcast join against the tiny per-query weight table
+    + hash aggregation inside whole-stage codegen, map-side partials
+    before the one shuffle). Big batches (matched work above
+    _BIG_MATCHED_POSTINGS) also hash-rebalance matched blocks before the
+    decode — term-sorted postings concentrate a hot term's blocks in a
+    few row groups and scan splits bottom out at one row group — and cut
+    the tie-complete top-k with an exact per-query k-th-largest score
+    threshold derived from a value-count table (never window-sorting
+    candidate rows); small batches use a job-count-minimal salted-rank
+    cut (inline proofs at the branch). The docmap join only ever sees
+    the driver-sized tie-complete candidate set (broadcast + isin/range
+    pushdown into the docmap scan), never the full doc space.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
