@@ -47,26 +47,31 @@ def test_docmap_lookup_pushdown(spark, built_index):
     assert_pushed_filters(df, "In(doc_id")
 
 
-def test_batch_path_docmap_scan_pruned(spark, built_index):
-    """The batch path must push the (bounded) candidate doc_ids into the
-    docmap scan — at design scale the docmap has one row per corpus doc,
-    so an unfiltered probe-side scan is a full-table read per batch job
-    (VERDICT r02 wrong-#3)."""
+def test_batch_path_result_is_local_no_docmap_scan(spark, built_index):
+    """The batch path's url resolution must never be a full docmap probe —
+    at design scale the docmap has one row per corpus doc (VERDICT r02
+    wrong-#3). Since round 5 it is not a Spark job AT ALL: the
+    driver-sized candidate set resolves urls via the serving reader's
+    interval-index stabs (row-group-exact, asserted in
+    test_urls_for_touches_only_candidate_rowgroups) and the returned
+    DataFrame is a local relation — assert no parquet scan survives in
+    its plan, and that the reader touched no more docmap row groups than
+    candidates."""
+    import escp_spark.query as Q
     from escp_spark.plans import explain_str
     from escp_spark.query import search_topk_spark
 
+    Q._batch_reader_cache.clear()
     df = search_topk_spark(
         spark, built_index[0],
         [{"query_id": 0, "query_text": "t00000 t00005", "k": 3}],
     )
     plan = explain_str(df)
-    import re
-
-    docmap_scans = [
-        s for s in re.split(r"\(\d+\) Scan parquet", plan) if "docmap" in s
-    ]
-    assert docmap_scans, "no docmap scan in plan"
-    assert all("In(doc_id" in s for s in docmap_scans), docmap_scans
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 3
+    reader = Q._batch_reader_cache[0][1]
+    assert len(reader._dm_cache._d) <= len(rows)
 
 
 def test_no_per_row_python_anywhere(spark, built_index, tiny_corpus):
