@@ -46,7 +46,7 @@ t0 = time.perf_counter()
 m = build_index(spark, corpus, idx, n_buckets=128, max_segments=5, n_groups=1)
 t_build = time.perf_counter() - t0
 # 4x-tiled reference set (distinct qids): a 200-query batch so the
-# distributed-path fixed costs (dictionary collect, docmap join)
+# distributed-path fixed costs (query planning, driver-merged jobs)
 # amortize the way a real batch workload would.
 qs = [dict(q, query_id=q["query_id"] + 100 * i)
       for i in range(4) for q in reference_queries()]

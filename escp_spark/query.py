@@ -15,11 +15,13 @@ Two execution paths, both rank-identical to the exhaustive oracle:
    request path.
 
 2. **Batch path** (`search_topk_spark`): throughput-oriented, runs a whole
-   query set as one distributed DataFrame job — term-pushdown scan of
-   postings → `mapInPandas` block scoring with in-task partial
-   aggregation (map-side combine) → `groupBy(query_id, doc_id).sum` →
-   per-query top-k with tie-complete `rank()` → docmap join for urls →
-   deterministic (score desc, url asc) final ranking.
+   query set through one distributed scoring pass — term-pushdown scan
+   of postings → `mapInPandas` decode to query-independent BM25 bases →
+   JVM-side (posting × query) expansion (broadcast join + hash agg,
+   map-side combine) → `groupBy(query_id, doc_id).sum` → work-adaptive
+   tie-complete top-k cut → driver-side url resolution via the serving
+   reader's interval-index stabs and deterministic (score desc, url asc)
+   final ranking.
 
 Tie-break contract (FIXTURES.md §2): final order is (score desc, url asc);
 ranking first takes a tie-complete candidate set (`rank() <= k`, which
@@ -837,9 +839,11 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     the tie-complete top-k with an exact per-query k-th-largest score
     threshold derived from a value-count table (never window-sorting
     candidate rows); small batches use a job-count-minimal salted-rank
-    cut (inline proofs at the branch). The docmap join only ever sees
-    the driver-sized tie-complete candidate set (broadcast + isin/range
-    pushdown into the docmap scan), never the full doc space.
+    cut (inline proofs at the branch). Url resolution for the
+    driver-sized tie-complete candidate set is driver-side — the serving
+    reader's sidecar-backed interval-index stabs read only the docmap
+    row groups containing candidates; it is never a cluster job and
+    never a full docmap probe.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
