@@ -23,36 +23,54 @@ BLOCK_SIZE = 128  # docs per posting block (Lucene uses 128 too)
 CODEC_VERSION = 1
 
 
+_ENC_CHUNK = 1 << 18  # values per encode chunk — keeps temporaries ~2 MB
+
+
 def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array, fully vectorized; also returns the
     per-value byte counts so callers can split the stream into blocks
     without re-encoding.
 
-    Each value contributes ceil(bits/7) bytes; we materialize a (n, 10)
-    byte matrix and compact it with a mask — no Python loop.
+    Work is proportional to TOTAL OUTPUT BYTES, not n × max-byte-width:
+    byte position g is scattered only for the values that actually need
+    a g-th byte. The docid-delta stream made the old (n, groups) matrix
+    pathological — one 7-byte block-start docid forced 7 uint64 columns
+    (~56 bytes/value of fresh temporaries) for millions of 1-byte
+    deltas, and on this host fresh pages cost more than arithmetic (see
+    CLAUDE.md); the scatter path writes ~1.2 bytes/value for that
+    stream and chunks all temporaries to ~2 MB.
     """
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
         return b"", np.empty(0, dtype=np.int64)
-    # Only materialize as many 7-bit groups as the LARGEST value needs —
-    # tf/dl/delta streams rarely need more than 2-5, and the (n, groups)
-    # temporaries dominate this function's memory traffic.
     vmax = int(v.max())
     n_groups = max(1, (vmax.bit_length() + 6) // 7)
-    shifts = np.arange(0, 7 * n_groups, 7, dtype=np.uint64)
-    groups = (v[:, None] >> shifts[None, :]).astype(np.uint8)
-    groups &= np.uint8(0x7F)
-    # Number of bytes needed per value: position of highest nonzero group.
-    nonzero = groups != 0
-    nbytes = np.where(
-        v == 0, 1, n_groups - np.argmax(nonzero[:, ::-1], axis=1)
-    ).astype(np.int64)
-    pos = np.arange(n_groups)[None, :]
-    keep = pos < nbytes[:, None]
-    # Continuation bit on every byte except the last of each value.
-    last = pos == (nbytes[:, None] - 1)
-    out = np.where(last, groups, groups | np.uint8(0x80))
-    return out[keep].tobytes(), nbytes
+    # Per-value byte count = 1 + (# of 7-bit thresholds crossed).
+    nbytes = np.ones(n, dtype=np.int64)
+    for g in range(1, n_groups):
+        nbytes += v >= np.uint64(1 << (7 * g))
+    ends = np.cumsum(nbytes)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for i0 in range(0, n, _ENC_CHUNK):
+        i1 = min(i0 + _ENC_CHUNK, n)
+        vc = v[i0:i1]
+        nbc = nbytes[i0:i1]
+        st = ends[i0:i1] - nbc  # start offset of each value's bytes
+        for g in range(n_groups):
+            if g == 0:
+                idx, vals, nb = st, vc, nbc
+            else:
+                m = nbc > g
+                if not m.any():
+                    break
+                idx = st[m] + g
+                vals = vc[m]
+                nb = nbc[m]
+            b = ((vals >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+            b[nb > g + 1] |= np.uint8(0x80)  # continuation bit
+            out[idx] = b
+    return out.tobytes(), nbytes
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -60,23 +78,25 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
-    """Decode ``count`` LEB128 values from ``buf`` — vectorized."""
+    """Decode ``count`` LEB128 values from ``buf`` — vectorized.
+
+    Mirror of the encoder's scatter: byte position g is GATHERED only for
+    the values that actually have a g-th byte, so work is proportional to
+    total bytes (≈1.2×count for posting streams), not count × max-width,
+    and there is no np.add.at (an order of magnitude slower than the
+    masked gather on these sizes)."""
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    is_last = (raw & 0x80) == 0
-    # Value index for each byte: cumulative count of previous terminators.
-    val_idx = np.zeros(raw.size, dtype=np.int64)
-    val_idx[1:] = np.cumsum(is_last[:-1])
-    # Byte position within its value.
-    starts = np.zeros(raw.size, dtype=np.int64)
-    term_pos = np.flatnonzero(is_last)
-    # start of value i = term_pos[i-1] + 1
-    value_starts = np.concatenate(([0], term_pos[:-1] + 1))
-    pos_in_val = np.arange(raw.size) - value_starts[val_idx]
-    payload = (raw & 0x7F).astype(np.uint64) << (7 * pos_in_val.astype(np.uint64))
-    out = np.zeros(count, dtype=np.uint64)
-    np.add.at(out, val_idx, payload)
+    term_pos = np.flatnonzero((raw & 0x80) == 0)  # last byte of each value
+    nbytes = np.diff(term_pos, prepend=-1)
+    starts = term_pos - (nbytes - 1)
+    out = (raw[starts] & np.uint8(0x7F)).astype(np.uint64)
+    for g in range(1, int(nbytes.max())):
+        m = nbytes > g
+        out[m] |= (raw[starts[m] + g] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(
+            7 * g
+        )
     return out
 
 
