@@ -475,7 +475,16 @@ N: {r8.get('all_build_sec')} / {r8.get('all_query_sec')} (firsts {r8.get('all_qu
   seconds and independent of data size — they shrink toward zero as a
   fraction at larger scale, so measured efficiency here is a lower bound.
 
-Raw JSON: see BENCH_scaling.json.
+Raw JSON: see BENCH_scaling.json (historical records under their own
+keys: `record_2m` is the same workload at 2M docs on the same code —
+after the codec rework its ratios sit on the corpus-size Amdahl floor,
+build 0.664 / query 0.682, NOT engine sublinearity: solving
+T = P/cores + f on its measured walls gives P ≈ 269 task core-seconds
+with f ≈ 27 s of parallelism-independent cost (corpus scan + ledger +
+merge placement + query planning), and the SAME f against this record's
+4× larger P predicts the efficiencies measured here. The engine getting
+2.6× faster shrank P while f stayed — the ratio floor moved up a corpus
+size, exactly as the round-4 500k diagnostic documented.)
 
 ## Round-4 headline attribution (VERDICT r03 #1)
 
@@ -519,6 +528,15 @@ window; raw stage rows recorded in the round-4 session):
 
 ## Operator measurements (round 5)
 
+- **Varint codec rework**: encode/decode touch byte position g only for
+  values that HAVE a g-th byte — work ∝ output bytes, temporaries
+  chunked to ~2 MB. The old (n, max-width) matrix let one 7-byte
+  block-start docid widen millions of 1-byte deltas to 7 uint64
+  columns: 19× slower on a 2M-value delta stream (1941 ms → 101 ms
+  measured), and the whole segment kernel ran 10.0 s → 1.4 s warm per
+  15.6k-doc bucket. Output bytes unchanged (hypothesis roundtrips).
+  Effect at 2M docs: build 153.8 s → 60.8 s at local[8] min-of-3+
+  (13.0k → 32.9k docs/s vs the prior round-5 record).
 - **Serving metadata sidecar** (`rg_stats.parquet`): the reader's
   term/docid interval indexes now load from ONE build-time artifact —
   constructing both indexes over a 200+-row-group index opens ZERO data
