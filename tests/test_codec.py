@@ -47,6 +47,34 @@ def test_delta_roundtrip_property(ids):
     assert np.array_equal(delta_decode(delta_encode(a)), a)
 
 
+def test_varint_roundtrip_across_encode_chunks():
+    """The encoder processes values in _ENC_CHUNK slices; a stream
+    longer than one chunk with mixed widths (1-byte deltas + sparse
+    7-byte block-start docids) must stay byte-correct across the
+    chunk seams, and the bytes must equal a trivial per-value
+    reference encoder."""
+    from escp_spark.codec import _ENC_CHUNK
+
+    rng = np.random.default_rng(3)
+    n = _ENC_CHUNK + 1017  # crosses one seam, ragged tail
+    vals = rng.integers(0, 200, size=n).astype(np.uint64)
+    vals[:: BLOCK_SIZE] = np.uint64(1) << np.uint64(46)
+    buf = varint_encode(vals)
+    assert np.array_equal(varint_decode(buf, n), vals)
+
+    def ref_one(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | 0x80 if v else b)
+            if not v:
+                return bytes(out)
+
+    probe = np.concatenate([vals[:300], vals[_ENC_CHUNK - 3 : _ENC_CHUNK + 3]])
+    assert varint_encode(probe) == b"".join(ref_one(int(v)) for v in probe)
+
+
 def test_encode_blocks_roundtrip_and_blockmax():
     rng = np.random.default_rng(7)
     n = 1000
