@@ -128,9 +128,14 @@ spark.stop()
 
 def run_level(cpus: int, corpus: str, n_docs: int) -> dict:
     script = CHILD.format(repo=REPO, work=WORK)
+    # Per-sample timeout scales with corpus size: a nominal 8M-doc
+    # N-level sample (build + two query batches) is ~1400 s, and host
+    # stall windows run 2-3× — a fixed 3600 s would kill legitimate
+    # large-corpus samples mid-flight.
+    timeout = max(3600, n_docs // 1000)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), corpus, str(n_docs)],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=timeout,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
