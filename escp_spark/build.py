@@ -431,6 +431,29 @@ _GROUP_SCAN_CONF = {
 # telemetry; bench_scaling uses it to attribute scaling loss to a stage).
 last_build_timings: dict = {}
 
+# Finer-grained driver-wall attribution of the most recent build — one
+# entry per Spark action / driver-side step inside each stage. The
+# scaling harness records this at BOTH parallelism levels; diffing the
+# two decomposes the parallelism-independent fixed cost f that sets the
+# small-corpus efficiency ceiling (VERDICT r05 next-#2: f ≈ 27 s at 2M
+# docs — "instrument once, then cut the top item").
+last_build_detail: dict = {}
+
+import contextlib as _contextlib
+import time as _time_mod
+
+
+@_contextlib.contextmanager
+def _detail(key: str):
+    t0 = _time_mod.perf_counter()
+    try:
+        yield
+    finally:
+        last_build_detail[key] = round(
+            last_build_detail.get(key, 0.0)
+            + (_time_mod.perf_counter() - t0), 3,
+        )
+
 
 # --------------------------------------------------------------------------
 # Merge (D5 force-merge analog — esindex/optimize.go:13-28: postings get
@@ -843,41 +866,46 @@ def merge_segments(
         # the cap, the distributed two-pass prefix sum (_cold_term_bounds
         # — byte-identical, tested) handles 10^9+-term vocabularies with
         # no single-partition step.
-        rows = stats.limit(_PLACEMENT_DRIVER_MAX_TERMS + 1).collect()
+        with _detail("merge_placement"):
+            rows = stats.limit(_PLACEMENT_DRIVER_MAX_TERMS + 1).collect()
         if len(rows) <= _PLACEMENT_DRIVER_MAX_TERMS:
-            spdf = pd.DataFrame(
-                {"term": [r.term for r in rows],
-                 "nblocks": [r.nblocks for r in rows],
-                 "df": [r.df for r in rows],
-                 "cf": [r.cf for r in rows]}
-            )
-            hot_pdf = (
-                spdf[spdf["nblocks"] > hot_cut]
-                .sort_values(["nblocks", "term"], ascending=[False, True])
-                .head(n_top)
-            )
-            hot_terms = hot_pdf["term"].tolist()
-            bounds = _bounds_pandas(
-                spdf[~spdf["term"].isin(hot_terms)], merge_parallelism
-            )
-            total_tokens = _write_dictionary(
-                spark, layout, None, driver_pdf=spdf
-            )
+            with _detail("merge_placement"):
+                spdf = pd.DataFrame(
+                    {"term": [r.term for r in rows],
+                     "nblocks": [r.nblocks for r in rows],
+                     "df": [r.df for r in rows],
+                     "cf": [r.cf for r in rows]}
+                )
+                hot_pdf = (
+                    spdf[spdf["nblocks"] > hot_cut]
+                    .sort_values(["nblocks", "term"], ascending=[False, True])
+                    .head(n_top)
+                )
+                hot_terms = hot_pdf["term"].tolist()
+                bounds = _bounds_pandas(
+                    spdf[~spdf["term"].isin(hot_terms)], merge_parallelism
+                )
+            with _detail("merge_dict"):
+                total_tokens = _write_dictionary(
+                    spark, layout, None, driver_pdf=spdf
+                )
         else:
             stats = stats.persist()
-            hot_terms = [
-                r.term
-                for r in stats.filter(F.col("nblocks") > hot_cut)
-                .orderBy(F.col("nblocks").desc(), "term")
-                .limit(n_top)
-                .collect()
-            ]
-            cold = (
-                stats.filter(~F.col("term").isin(hot_terms))
-                if hot_terms else stats
-            )
-            bounds = _cold_term_bounds(cold, merge_parallelism)
-            total_tokens = _write_dictionary(spark, layout, stats)
+            with _detail("merge_placement"):
+                hot_terms = [
+                    r.term
+                    for r in stats.filter(F.col("nblocks") > hot_cut)
+                    .orderBy(F.col("nblocks").desc(), "term")
+                    .limit(n_top)
+                    .collect()
+                ]
+                cold = (
+                    stats.filter(~F.col("term").isin(hot_terms))
+                    if hot_terms else stats
+                )
+                bounds = _cold_term_bounds(cold, merge_parallelism)
+            with _detail("merge_dict"):
+                total_tokens = _write_dictionary(spark, layout, stats)
             stats.unpersist()
         pos = F.shiftright(F.col("doc_id_lo"), DOC_BUCKET_SHIFT)
         barr = (
@@ -899,19 +927,20 @@ def merge_segments(
     else:
         total_tokens = _write_dictionary(spark, layout, stats)
     merged = merged.sortWithinPartitions("segment", "term", "doc_id_lo")
-    (
-        merged.write.mode("overwrite")
-        .option("parquet.block.size", str(row_group_bytes))
-        # parquet-mr only checks the accumulated size every N rows
-        # (default 100) — scale the interval with the target so small
-        # row groups (tests, fine-grained indexes) are actually honored.
-        .option(
-            "parquet.page.size.row.check.min",
-            str(max(4, min(100, row_group_bytes // (64 * 1024)))),
+    with _detail("merge_write"):
+        (
+            merged.write.mode("overwrite")
+            .option("parquet.block.size", str(row_group_bytes))
+            # parquet-mr only checks the accumulated size every N rows
+            # (default 100) — scale the interval with the target so small
+            # row groups (tests, fine-grained indexes) are actually honored.
+            .option(
+                "parquet.page.size.row.check.min",
+                str(max(4, min(100, row_group_bytes // (64 * 1024)))),
+            )
+            .partitionBy("segment")
+            .parquet(layout.postings)
         )
-        .partitionBy("segment")
-        .parquet(layout.postings)
-    )
     return {
         "prune_shift": DOC_BUCKET_SHIFT + (seg_shift if consolidate else 0),
         "total_tokens": total_tokens,
@@ -1041,6 +1070,7 @@ def build_index(
     import time as _time
 
     last_build_timings.clear()
+    last_build_detail.clear()
     _t0 = _time.perf_counter()
 
     def _mark(stage: str):
@@ -1080,36 +1110,40 @@ def build_index(
             ).select("url", "bucket", "grp", "text", "lang")
         else:
             shuffled = shuffled.select("url", "bucket", "grp", "html", "lang")
-        with _scoped_conf(spark, _CORPUS_SCAN_CONF):
+        with _scoped_conf(spark, _CORPUS_SCAN_CONF), _detail("shuffle_write"):
             shuffled.write.mode("overwrite").partitionBy("grp").parquet(
                 shuffled_dir
             )
         # One aggregation gives total + per-group doc counters (M2 analog)
         # — no per-group count jobs later.
-        grp_counts = {
-            int(r.grp): int(r.docs)
-            for r in spark.read.parquet(shuffled_dir)
-            .groupBy("grp")
-            .agg(F.count("*").alias("docs"))
-            .collect()
-        }
-        _ledger_append(
-            spark,
-            layout,
-            [
-                {
-                    "build_id": build_id,
-                    "partition_id": int(g),
-                    "stage": "shuffle",
-                    "status": "committed",
-                    "segment_path": os.path.join(shuffled_dir, f"grp={g}"),
-                    "docs": int(docs),
-                    "bytes": _dir_bytes(os.path.join(shuffled_dir, f"grp={g}")),
-                    "input_snapshot": resume_key,
-                }
-                for g, docs in grp_counts.items()
-            ],
-        )
+        with _detail("shuffle_counts"):
+            grp_counts = {
+                int(r.grp): int(r.docs)
+                for r in spark.read.parquet(shuffled_dir)
+                .groupBy("grp")
+                .agg(F.count("*").alias("docs"))
+                .collect()
+            }
+        with _detail("shuffle_ledger"):
+            _ledger_append(
+                spark,
+                layout,
+                [
+                    {
+                        "build_id": build_id,
+                        "partition_id": int(g),
+                        "stage": "shuffle",
+                        "status": "committed",
+                        "segment_path": os.path.join(shuffled_dir, f"grp={g}"),
+                        "docs": int(docs),
+                        "bytes": _dir_bytes(
+                            os.path.join(shuffled_dir, f"grp={g}")
+                        ),
+                        "input_snapshot": resume_key,
+                    }
+                    for g, docs in grp_counts.items()
+                ],
+            )
         log.info("shuffle committed: %d docs", sum(grp_counts.values()))
     else:
         pdf = _ledger_pandas(layout)
@@ -1211,33 +1245,36 @@ def build_index(
         # (clustered by doc_id via the window's output order) — publish is
         # zero-copy, which matters when the docmap has 10^12 rows.
         dm_path = os.path.join(layout.docmap, f"group={g}")
-        (
-            docmap_for(part).write.mode("overwrite")
-            .option("parquet.block.size", str(DOCMAP_ROW_GROUP_BYTES))
-            .parquet(dm_path)
-        )
+        with _detail("segment_docmap"):
+            (
+                docmap_for(part).write.mode("overwrite")
+                .option("parquet.block.size", str(DOCMAP_ROW_GROUP_BYTES))
+                .parquet(dm_path)
+            )
         seg_path = os.path.join(layout.postings_l0, f"group={g}")
-        build_segments(part.select("url", "bucket", "text")).write.mode(
-            "overwrite"
-        ).parquet(seg_path)
+        with _detail("segment_postings"):
+            build_segments(part.select("url", "bucket", "text")).write.mode(
+                "overwrite"
+            ).parquet(seg_path)
         docs_g = int(grp_counts.get(g, 0))
-        bytes_g = _dir_bytes(seg_path)  # FS listing, no Spark job
-        _ledger_append(
-            spark,
-            layout,
-            [
-                {
-                    "build_id": build_id,
-                    "partition_id": g,
-                    "stage": "segment",
-                    "status": "committed",
-                    "segment_path": seg_path,
-                    "docs": docs_g,
-                    "bytes": bytes_g,
-                    "input_snapshot": resume_key,
-                }
-            ],
-        )
+        with _detail("segment_ledger"):
+            bytes_g = _dir_bytes(seg_path)  # FS listing, no Spark job
+            _ledger_append(
+                spark,
+                layout,
+                [
+                    {
+                        "build_id": build_id,
+                        "partition_id": g,
+                        "stage": "segment",
+                        "status": "committed",
+                        "segment_path": seg_path,
+                        "docs": docs_g,
+                        "bytes": bytes_g,
+                        "input_snapshot": resume_key,
+                    }
+                ],
+            )
         log.info(
             "group %d committed: %d docs, %s of segments",
             g, docs_g, iec_format(bytes_g),
@@ -1274,7 +1311,8 @@ def build_index(
     # publish (VERDICT r04 wrong-#1; the Lucene persist-at-merge analog).
     from .sidecar import write_rg_sidecar
 
-    write_rg_sidecar(layout, spark)
+    with _detail("final_sidecar"):
+        write_rg_sidecar(layout, spark)
 
     manifest = publish_manifest(
         layout,

@@ -273,13 +273,10 @@ class IndexReader:
             sc = load_rg_sidecar(self._index_dir, "postings", self._pfiles)
             if sc is not None:
                 self.rg_index_source = "sidecar"
-                fi_of = {
-                    os.path.normpath(p): i
-                    for i, p in enumerate(self._pfiles)
-                }
-                sc = sc.assign(fi=sc["abs_path"].map(fi_of)).sort_values(
-                    ["fi", "rg"], kind="mergesort"
-                )
+                # ``fi`` comes from the sidecar loader (searchsorted
+                # against the reader's own sorted listing — validated by
+                # the _meta.json fingerprint, no path-set/dict build).
+                sc = sc.sort_values(["fi", "rg"], kind="mergesort")
                 fis = sc["fi"].to_numpy(dtype=np.int64)
                 rgis = sc["rg"].to_numpy(dtype=np.int64)
                 tmins = sc["term_lo"].to_numpy()
@@ -432,13 +429,7 @@ class IndexReader:
             sc = load_rg_sidecar(self._index_dir, "docmap", self._dm_files)
             if sc is not None:
                 self.dm_index_source = "sidecar"
-                fi_of = {
-                    os.path.normpath(p): i
-                    for i, p in enumerate(self._dm_files)
-                }
-                sc = sc.assign(fi=sc["abs_path"].map(fi_of)).sort_values(
-                    ["fi", "rg"], kind="mergesort"
-                )
+                sc = sc.sort_values(["fi", "rg"], kind="mergesort")
                 rgs = list(zip(
                     sc["fi"].to_numpy(dtype=np.int64).tolist(),
                     sc["rg"].to_numpy(dtype=np.int64).tolist(),
@@ -678,6 +669,12 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
     visit_order = np.argsort(bucket_env)[::-1]
     theta = -np.inf
     all_ids, all_scores = [], []
+    # Running k-largest collected scores (the SURVEY §2.9 Q4 "bounded
+    # min-heap", kept as a flat array): θ maintenance per kept window is
+    # O(k + new) instead of re-partitioning the FULL collected set —
+    # the old np.partition(concatenate(all_scores)) was O(windows ×
+    # collected), quadratic for a high-k query over a many-window index.
+    topk_pool = np.empty(0, dtype=np.float64)
     total_collected = 0
     pruned = 0
     for bc in visit_order:
@@ -704,9 +701,15 @@ def _prune_and_score(blocks: pd.DataFrame, term_weights: dict[str, float],
             all_ids.append(ids)
             all_scores.append(scores)
             total_collected += ids.size
+            topk_pool = np.concatenate([topk_pool, scores])
+            if topk_pool.size > k:
+                topk_pool = np.partition(topk_pool, topk_pool.size - k)[
+                    topk_pool.size - k:
+                ]
             if total_collected >= k:
-                flat = np.concatenate(all_scores)
-                theta = np.partition(flat, -k)[-k]
+                # pool holds exactly the k largest collected scores; its
+                # min is the kth best — identical θ to the full re-sort.
+                theta = topk_pool.min()
 
     last_prune_stats = {
         "total_blocks": int(len(blocks)),
@@ -964,19 +967,9 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     except OSError:
         post_bytes = 0
     if not post_bytes:
-        try:
-            import pyarrow.parquet as _pq
+        from .sidecar import sidecar_payload_bytes
 
-            sc_tbl = _pq.read_table(
-                os.path.join(index_dir, "rg_stats.parquet"),
-                columns=["kind", "payload_bytes"],
-            )
-            pdf_sc = sc_tbl.to_pandas()
-            post_bytes = int(
-                pdf_sc.loc[pdf_sc["kind"] == "postings", "payload_bytes"].sum()
-            )
-        except Exception:
-            post_bytes = 0
+        post_bytes = sidecar_payload_bytes(index_dir, "postings")
     postings = (
         spark.read.parquet(paths["postings"])
         .filter(F.col("term").isin(all_terms))
