@@ -96,6 +96,19 @@ def main():
         search_topk_spark(spark, index_dir, qset).collect()
         timings["bm25_batch"] = time.perf_counter() - t0
 
+        # Mixed-frequency 200-query batch (VERDICT r05 next-#7): distinct
+        # uniform-vocabulary-rank term draws, the same generator the
+        # scaling record uses — per-query work grows with the batch the
+        # way a real multi-tenant mix does, unlike tiling the reference
+        # set. Reported alongside bm25_batch (one round of history keeps
+        # the old number comparable).
+        from escp_spark.corpus import scale_queries
+
+        qmix = scale_queries(200)
+        t0 = time.perf_counter()
+        search_topk_spark(spark, index_dir, qmix).collect()
+        timings["bm25_batch_mixed200"] = time.perf_counter() - t0
+
         import escp_spark.query as Q
 
         reader = IndexReader(index_dir)
@@ -186,7 +199,10 @@ def main():
     extras["build_stages"] = {k: round(v, 3) for k, v in build_stages.items()}
     extras["all_index_build"] = all_builds
 
-    total = sum(best.values())
+    # Headline total stays the r01-r05 metric set so round-over-round
+    # comparisons hold; the new mixed-frequency batch is reported as its
+    # own key (it measures a 4× larger workload than bm25_batch).
+    total = sum(v for k, v in best.items() if k != "bm25_batch_mixed200")
     print(
         json.dumps(
             {

@@ -78,7 +78,8 @@ print("RESULT " + json.dumps({{"cpus": cpus, "build_sec": t_build,
       "n_docs": m["n_docs"],
       "build_docs_per_sec": m["n_docs"] / t_build,
       "queries_per_sec": len(qs) / t_query,
-      "build_stages": B.last_build_timings}}))
+      "build_stages": B.last_build_timings,
+      "build_detail": B.last_build_detail}}))
 spark.stop()
 """
 
@@ -265,6 +266,11 @@ def _best_run(cpus: int, corpus: str, n_docs: int, repeats: int,
         "build_stages": min(runs, key=lambda r: r["build_sec"]).get(
             "build_stages", {}
         ),
+        # Sub-stage driver-wall detail of the FASTEST build (the one the
+        # ratio is made from): diffing N vs 4N decomposes the fixed cost.
+        "build_detail": min(runs, key=lambda r: r["build_sec"]).get(
+            "build_detail", {}
+        ),
         **(
             {
                 "query800_sec": min(r["query800_sec"] for r in runs),
@@ -393,6 +399,44 @@ def main():
     write_outputs(result, levels, repeats)
 
 
+def _detail_table(r8: dict, r32: dict, lo: int, hi: int) -> str:
+    """Fixed-cost decomposition (VERDICT r05 next-#2): per driver-wall
+    sub-step, solve T_lo = P/lo + f, T_hi = P/hi + f for the
+    parallelism-independent f. Negative solutions (a sub-step that ran
+    FASTER at lower parallelism — host noise) clamp to 0 for the total."""
+    d8, d32 = r8.get("build_detail") or {}, r32.get("build_detail") or {}
+    keys = [k for k in d32 if k in d8]
+    if not keys:
+        return ""
+    rows, f_total = [], 0.0
+    for k in sorted(keys, key=lambda k: -(d32[k])):
+        t_lo, t_hi = d8[k], d32[k]
+        p = (t_lo - t_hi) / (1.0 / lo - 1.0 / hi)
+        f = t_hi - p / hi
+        f_total += max(f, 0.0)
+        rows.append(f"| {k} | {t_lo:.1f} | {t_hi:.1f} | {max(f, 0.0):.1f} |")
+    other_lo = r8["build_sec"] - sum(d8[k] for k in keys)
+    other_hi = r32["build_sec"] - sum(d32[k] for k in keys)
+    p_o = (other_lo - other_hi) / (1.0 / lo - 1.0 / hi)
+    f_o = max(other_hi - p_o / hi, 0.0)
+    f_total += f_o
+    rows.append(
+        f"| (plan/scheduling residual) | {other_lo:.1f} | {other_hi:.1f} "
+        f"| {f_o:.1f} |"
+    )
+    return (
+        "\n\n## Build fixed-cost decomposition "
+        "(driver-wall sub-steps, fastest build per level)\n\n"
+        f"Solving T = P/cores + f per sub-step on the local[{lo}]/"
+        f"local[{hi}] walls; f is the parallelism-independent component "
+        "— the Amdahl term that caps small-corpus scaling efficiency "
+        "and vanishes as a fraction at production corpus sizes.\n\n"
+        f"| sub-step | local[{lo}] (s) | local[{hi}] (s) | fixed f (s) |\n"
+        "|---|---|---|---|\n" + "\n".join(rows) +
+        f"\n| **total inferred f** | | | **{f_total:.1f}** |"
+    )
+
+
 def write_outputs(result: dict, levels: tuple, repeats: int) -> None:
     """Render BENCH.md and merge the record into BENCH_scaling.json
     (read-modify-write: historical records under other keys survive —
@@ -455,7 +499,7 @@ N: {r8.get('all_build_sec')} / {r8.get('all_query_sec')} (firsts {r8.get('all_qu
         f"{(r8['build_stages'].get(k, 0) / (4 * r32['build_stages'][k])):.2f} |"
         for k in r32.get("build_stages", {})
         if r32["build_stages"].get(k)
-    ) + f"""
+    ) + _detail_table(r8, r32, lo, hi) + f"""
 
 ## Why this holds at 10^12 docs
 
