@@ -59,8 +59,18 @@ _LEGACY_SIDECAR = "rg_stats.parquet"  # round-5 monolithic layout
 
 PAYLOAD_COLS = ("doc_ids", "tfs", "dls")
 
-# Above this many files the footer scan fans out as a Spark job.
-_DRIVER_SCAN_MAX_FILES = 128
+# Above this many files the footer scan fans out as a Spark job. The
+# crossover is high because the alternative is cheap and the Spark path
+# carries a fixed cost: a driver footer read is ~0.4 ms/file (measured
+# 0.05 s for 143 files), so the loop stays under ~2 s up to this cutoff
+# and the row set stays a few-MB frame — while the distributed scan
+# costs seconds of fixed job overhead (mapInPandas worker spin-up +
+# partitioned write + shard-footer meta reads) regardless of size. At
+# 128 the round-6 sf0.1 bench paid ~9 s of finalize for a 143-file
+# index; the distributed path is for the 10^5-10^7-file design point,
+# where per-task footer I/O dominates and the driver must never hold
+# the row set.
+_DRIVER_SCAN_MAX_FILES = 4096
 
 _SIDECAR_PANDAS_SCHEMA = {
     "path": "object", "rg": "int32",
@@ -225,7 +235,10 @@ def write_rg_sidecar(layout, spark=None) -> int:
                     yield df
 
         (
-            fdf.repartition(min(n_files, 256))
+            # ≥64 files per scan task: above the (large) driver cutoff
+            # the per-file footer read is the work unit, and 1-file
+            # tasks would pay worker spin-up per footer.
+            fdf.repartition(max(16, min(256, n_files // 64)))
             .mapInPandas(scan, out_schema)
             .write.mode("overwrite")
             .partitionBy("kind", "segment")
