@@ -339,6 +339,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (dedup family): banded
+    random-hyperplane LSH blocking (8 bands × 2 sign bits, seeded
+    planes) + exact cosine verify — the scale path, never all-pairs.
+    The planes are deterministic, so the DuckDB oracle reproduces the
+    EXACT banded candidate set (band-code agreement join), then the
+    same 4-decimal cosine — like the ann_lsh oracle, it checks the
+    operator's defined semantics, not an all-pairs proxy whose ~2%
+    recall gap at this threshold would be a false mismatch."""
+    from escp_spark.operators import embedding_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.35)
+
+
 def q_filtered_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The estail analog (cmd/estail/estail.go:22-106): bool terms filter
     + time-range over the newest window, newest first — data-anchored
@@ -500,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "minhash_near_dups": q_minhash_near_dups,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "filtered_tail": q_filtered_tail,
         "bm25_serving": q_bm25_serving,
         "revenue_by_segment": q_revenue_by_segment,
@@ -562,6 +578,46 @@ def _ann_lsh_oracle_sql() -> str:
     from escp_spark.operators.similarity import ann_lsh_sql
 
     return ann_lsh_sql(dim=64, k=10, n_planes=8, probe_hamming=4)
+
+
+def _embedding_near_dup_oracle_sql(threshold: float = 0.35,
+                                   n_bands: int = 8, band_bits: int = 2,
+                                   dim: int = 64) -> str:
+    """DuckDB oracle for q_embedding_near_dups: identical seeded planes
+    embedded as literals, identical per-band sign-bit codes, candidate
+    pairs = agreement on ≥1 full band (exactly the operator's blocking),
+    then the identical 4-decimal cosine verify."""
+    from escp_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_bands * band_bits, seed=42)
+
+    def plane_lit(i: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]::DOUBLE[]"
+
+    def band_code(bd: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(bd * band_bits + j)})"
+            f" >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+
+    codes = ", ".join(f"({band_code(bd)}) AS c{bd}" for bd in range(n_bands))
+    agree = " OR ".join(f"a.c{bd} = b.c{bd}" for bd in range(n_bands))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        coded AS (SELECT vec_id, v, {codes} FROM v),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+          FROM coded a JOIN coded b
+            ON a.vec_id < b.vec_id AND ({agree})
+        )
+        SELECT id_a, id_b, cos FROM cand WHERE cos >= {threshold}
+    """
 
 
 def _minhash_oracle_sql() -> str:
@@ -781,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "minhash_near_dups": _minhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "embedding_near_dups": _embedding_near_dup_oracle_sql(),
         "langid": """
             WITH toks AS (
               SELECT doc_id,
