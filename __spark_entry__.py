@@ -47,6 +47,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, name))
 
 
+def _read_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_read, but restore scan parallelism when the table is ONE parquet
+    row group (r07, guide §2.5 "input skew"): a single row group is one
+    input split no matter the split size, so every row-wise expression
+    after the scan (regex tokenization, per-row cosine) runs on ONE core.
+    The repartition is gated on that pathological layout — a production
+    table has thousands of row groups and takes the plain scan, so this
+    never adds a shuffle at scale."""
+    df = _read(spark, sf_dir, name)
+    try:
+        import pyarrow.parquet as pq
+
+        n_rg = pq.ParquetFile(_t(sf_dir, name)).metadata.num_row_groups
+    except Exception:
+        return df
+    if n_rg == 1:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from escp_spark.docindex import doc_id_from_url_expr, ensure_documents_index
     from escp_spark.query import search_topk_spark
@@ -172,10 +192,20 @@ def q_asia_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8: the hot-term statistics pass that drives salting — document
     frequency per term, flagged when df exceeds the skew threshold."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_parallel(spark, sf_dir, "documents")
+    # Per-doc dedup via array_distinct BEFORE the explode (r07, guide
+    # §2.4): doc_id is unique per row, so distinct (doc_id, term) pairs
+    # ≡ exploding each doc's distinct-term array — the global
+    # .distinct() exchange over the whole token stream disappears and
+    # the groupBy's map-side partial agg is the only shuffle (plan:
+    # 2 Exchanges → 1; doc_id is no longer read at all).
     toks = d.select(
-        "doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term")
-    ).distinct()
+        F.explode(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            )
+        ).alias("term")
+    )
     # Row count from parquet footers (driver-side metadata), not a second
     # full Spark scan of the table.
     import pyarrow.dataset as pads
@@ -251,7 +281,14 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("probe")
     )
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    # Filter first (pushdown intact), then _read_parallel-style
+    # repartition: the sf embeddings table is ONE row group = one scan
+    # split, so the per-row higher-order-function cosine otherwise runs
+    # single-core (r07; the 6 MB shuffle is ~free next to the fold).
+    rest = _read_parallel(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    joined = rest.crossJoin(F.broadcast(probe))
     a = F.col("embedding").cast("array<double>")
     b = F.col("probe").cast("array<double>")
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

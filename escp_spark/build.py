@@ -427,6 +427,63 @@ _GROUP_SCAN_CONF = {
 }
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of an INT column value (the hash behind
+    ``repartition``/``groupBy`` hash partitioning — Murmur3_x86_32
+    hashInt with Spark's seed 42), reimplemented for DRIVER-SIDE
+    partition-count planning. Asserted equal to ``F.hash`` in
+    tests/test_e2e_index.py. Correctness never depends on it — a
+    mismatch only costs balance."""
+    mask = 0xFFFFFFFF
+    k1 = (x & mask) * 0xCC9E2D51 & mask
+    k1 = ((k1 << 15) | (k1 >> 17)) & mask
+    k1 = k1 * 0x1B873593 & mask
+    h1 = (seed ^ k1) & mask
+    h1 = ((h1 << 13) | (h1 >> 19)) & mask
+    h1 = (h1 * 5 + 0xE6546B64) & mask
+    h1 ^= 4  # total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & mask
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & mask
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+def _balanced_shuffle_partitions(key_groups: list[list[int]],
+                                 default_n: int) -> int:
+    """Pick the shuffle-partition count for the per-bucket kernel stages.
+
+    ``groupBy("bucket").applyInPandas`` hash-partitions ~P atomic bucket
+    kernels into spark.sql.shuffle.partitions bins; with P keys in P
+    bins, balls-into-bins puts 3-4 buckets on one task — a 3-4×
+    straggler on an otherwise perfectly uniform stage (guide §2.5,
+    "synthetic partitioning keys with too few distinct values": use more
+    bins than keys). Spark's key→partition map is pmod(Murmur3(key), n),
+    known driver-side, so scan n ∈ [default_n, 3·default_n] and take the
+    smallest n minimizing the worst per-group max-load (each group's
+    segment/docmap jobs see only that group's buckets). Beyond 3× the
+    empty-task scheduling overhead outweighs the remaining load-2 tail.
+    """
+    hashed = [[_murmur3_int32(k) for k in ks] for ks in key_groups if ks]
+    if not hashed:
+        return default_n
+    best_n, best_load = default_n, max(len(ks) for ks in hashed)
+    for n in range(default_n, default_n * 3 + 1):
+        load = 0
+        for hs in hashed:
+            counts: dict[int, int] = {}
+            for h in hs:
+                p = h % n  # python floor-mod == Spark pmod for n > 0
+                counts[p] = counts.get(p, 0) + 1
+            load = max(load, max(counts.values()))
+        if load < best_load:
+            best_n, best_load = n, load
+            if load == 1:
+                break
+    return best_n
+
+
 # Wall-clock per stage of the most recent build_index call (M1/M2-style
 # telemetry; bench_scaling uses it to attribute scaling loss to a stage).
 last_build_timings: dict = {}
@@ -1096,6 +1153,14 @@ def build_index(
             # Catalyst pushes this predicate into the Parquet/Iceberg
             # scan (plan-asserted in tests/test_plans.py).
             pages = pages.filter(F.expr(source_filter))
+        # The corpus ``text`` column never survives the wide pass (every
+        # mode re-derives text from html via the byte-identical
+        # extractor), but the dedup aggregate's max_by struct would
+        # otherwise carry it through the one wide exchange — drop it
+        # BEFORE the aggregate so the shuffle ships html only (guide
+        # §2.3 "project before the exchange"; ~45% fewer dedup-exchange
+        # bytes on the bench corpus, where text ≈ html payload).
+        pages = pages.drop("text")
         shuffled = (
             dedup_last_write_wins(pages)
             .withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
@@ -1114,16 +1179,31 @@ def build_index(
             shuffled.write.mode("overwrite").partitionBy("grp").parquet(
                 shuffled_dir
             )
-        # One aggregation gives total + per-group doc counters (M2 analog)
-        # — no per-group count jobs later.
+        # Per-group doc counters (M2 analog) from the staging files'
+        # parquet FOOTERS — driver-side metadata reads (num_rows is
+        # exact), not a Spark scan of the staging bytes (r07: the old
+        # count job re-read the whole staging dataset; ~0.3-0.8 s at
+        # sf1.0 and growing with corpus size).
         with _detail("shuffle_counts"):
-            grp_counts = {
-                int(r.grp): int(r.docs)
-                for r in spark.read.parquet(shuffled_dir)
-                .groupBy("grp")
-                .agg(F.count("*").alias("docs"))
-                .collect()
-            }
+            import pyarrow.parquet as _pq
+
+            grp_counts = {}
+            for entry in os.listdir(shuffled_dir):
+                if not entry.startswith("grp="):
+                    continue
+                g = int(entry.split("=", 1)[1])
+                n = 0
+                for broot, _, bfiles in os.walk(
+                    os.path.join(shuffled_dir, entry)
+                ):
+                    for fn in bfiles:
+                        if fn.endswith(".parquet") and not fn.startswith(
+                            (".", "_")
+                        ):
+                            n += _pq.ParquetFile(
+                                os.path.join(broot, fn)
+                            ).metadata.num_rows
+                grp_counts[g] = n
         with _detail("shuffle_ledger"):
             _ledger_append(
                 spark,
@@ -1285,8 +1365,21 @@ def build_index(
         log.info("%d groups already committed — skipping (resume)", len(done))
     # One scope around the whole stage (not per group): identical values
     # for every group, and concurrent_groups threads must not race the
-    # restore mid-plan.
-    with _scoped_conf(spark, _GROUP_SCAN_CONF):
+    # restore mid-plan. The shuffle-partition override spreads the
+    # per-bucket kernels 1-2 per task instead of the 3-4 balls-into-bins
+    # worst bin (see _balanced_shuffle_partitions) — scoped to this
+    # stage only; every other query keeps the session's sizing.
+    seg_conf = dict(_GROUP_SCAN_CONF)
+    seg_conf["spark.sql.shuffle.partitions"] = str(
+        _balanced_shuffle_partitions(
+            [
+                [b for b in range(n_buckets) if b % n_groups == g]
+                for g in range(n_groups)
+            ],
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
+    )
+    with _scoped_conf(spark, seg_conf):
         _run_segment_groups(
             spark, pending, _run_group, fail_after_groups, concurrent_groups
         )

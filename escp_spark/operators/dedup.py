@@ -49,6 +49,13 @@ MINHASH_SCHEME_VERSION = 2
 # memory is O(1) in the Arrow batch size.
 _PERMUTE_CHUNK_ELEMS = 256 * 1024
 
+# Unique-shingle cap for the dedup-then-gather permute path (r07): the
+# transposed permuted-value table PT is (n_hashes, n_unique) and lives in
+# a reused per-task buffer; chunk-groups whose global-unique count
+# exceeds this (a pathological single ~256k-char all-unique doc) fall
+# back to the direct chunked fold so per-worker memory stays bounded.
+_PERMUTE_UNIQUE_CAP = 1 << 16
+
 
 def _hash_params(n_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
@@ -189,6 +196,74 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         chunk = max(1, _PERMUTE_CHUNK_ELEMS // n_hashes)
         buf = np.empty((chunk, n_hashes), dtype=np.uint64)
         hi = np.empty((chunk, n_hashes), dtype=np.uint64)
+        # Dedup-then-gather buffers (reused across chunks/batches so the
+        # pages are faulted once per task — CLAUDE.md arena rule): PT is
+        # the TRANSPOSED permuted table (n_hashes, ≤_PERMUTE_UNIQUE_CAP);
+        # g is the 1D gather target; tmp the mod-reduction scratch.
+        pt_buf = np.empty((n_hashes, _PERMUTE_UNIQUE_CAP), dtype=np.uint64)
+        g_buf = np.empty(_SHINGLE_CHUNK_CHARS, dtype=np.uint64)
+        tmp = np.empty(_PERMUTE_UNIQUE_CAP, dtype=np.uint64)
+
+        def fold_direct(h, d, sigs):
+            """Direct chunked (shingles × n_hashes) permute fold — the
+            fallback when a chunk-group's unique count exceeds the PT
+            buffer (and the reference implementation for it)."""
+            for s in range(0, h.size, chunk):
+                hc, dc = h[s : s + chunk], d[s : s + chunk]
+                x = buf[: hc.size]
+                y = hi[: hc.size]
+                np.multiply(hc[:, None], a[None, :], out=x)
+                np.add(x, b[None, :], out=x)
+                # Mersenne reduction: for x < 2^63, x mod (2^61−1)
+                # == (x & M) + (x >> 61), minus M on the rare
+                # overflow — bit ops, not a division per element.
+                np.right_shift(x, np.uint64(61), out=y)
+                np.bitwise_and(x, M, out=x)
+                np.add(x, y, out=x)
+                # x-M wraps below M (uint64) → minimum() IS the exact
+                # conditional subtract, without a bool mask temporary.
+                np.subtract(x, M, out=y)
+                np.minimum(x, y, out=x)
+                starts = np.flatnonzero(
+                    np.concatenate(([True], dc[1:] != dc[:-1]))
+                )
+                mins = np.minimum.reduceat(x, starts, axis=0)
+                docs = dc[starts]  # unique within the chunk
+                sigs[docs] = np.minimum(sigs[docs], mins)
+
+        def fold_gather(u, inv, d, sigs):
+            """Global-dedup + transposed-gather permute fold (r07,
+            measured 2.5× the direct fold on the bench corpus): shingles
+            repeat heavily ACROSS docs (~10× here), so permute only the
+            chunk-group's UNIQUE hashes — PT[j] = (a_j·u + b_j) mod M as
+            64 contiguous 1D passes — then per hash j a cache-resident
+            1D table gather PT[j][inv] + per-doc reduceat replaces the
+            (shingles × n_hashes) arithmetic. Output-identical to
+            fold_direct (same values, same minima; asserted in
+            tests/test_operators.py)."""
+            nu = u.size
+            PT = pt_buf[:, :nu]
+            y = tmp[:nu]
+            for j in range(n_hashes):
+                x = PT[j]
+                np.multiply(u, a[j], out=x)
+                np.add(x, b[j], out=x)
+                np.right_shift(x, np.uint64(61), out=y)
+                np.bitwise_and(x, M, out=x)
+                np.add(x, y, out=x)
+                np.subtract(x, M, out=y)
+                np.minimum(x, y, out=x)
+            starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+            docs = d[starts]
+            g = g_buf[: inv.size] if inv.size <= g_buf.size else np.empty(
+                inv.size, np.uint64
+            )
+            mins = np.empty((docs.size, n_hashes), dtype=np.uint64)
+            for j in range(n_hashes):
+                np.take(PT[j], inv, out=g)
+                mins[:, j] = np.minimum.reduceat(g, starts)
+            sigs[docs] = np.minimum(sigs[docs], mins)
+
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             sigs = np.full((len(pdf), n_hashes), _MERSENNE, dtype=np.uint64)
@@ -196,35 +271,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             # Shingle-hash the batch in ~256k-char doc-chunks (bounded,
             # arena-reused temporaries — see _SHINGLE_CHUNK_CHARS), each
             # per-doc deduped (min is set-invariant) and fed straight
-            # into the permute fold while still cache-resident.
+            # into the permute fold while still cache-resident. Docs
+            # split across a chunk boundary meet at the running
+            # np.minimum fold on sigs.
             for i0, i1 in _iter_doc_chunks(texts, _SHINGLE_CHUNK_CHARS):
                 h, d = _batch_shingle_hashes(texts[i0:i1], shingle_k)
-                if d.size:
-                    d += i0
-                # (chunk, n_hashes) permuted hashes, min per doc. Chunks
-                # are cache-sized and the buffers are reused, so the six
-                # vector passes run at compute speed and memory stays
-                # O(1) in the batch. Docs split across a chunk boundary
-                # meet at the running np.minimum fold.
-                for s in range(0, h.size, chunk):
-                    hc, dc = h[s : s + chunk], d[s : s + chunk]
-                    x = buf[: hc.size]
-                    y = hi[: hc.size]
-                    np.multiply(hc[:, None], a[None, :], out=x)
-                    np.add(x, b[None, :], out=x)
-                    # Mersenne reduction: for x < 2^63, x mod (2^61−1)
-                    # == (x & M) + (x >> 61), minus M on the rare
-                    # overflow — bit ops, not a division per element.
-                    np.right_shift(x, np.uint64(61), out=y)
-                    np.bitwise_and(x, M, out=x)
-                    np.add(x, y, out=x)
-                    np.subtract(x, M, out=x, where=x >= M)
-                    starts = np.flatnonzero(
-                        np.concatenate(([True], dc[1:] != dc[:-1]))
-                    )
-                    mins = np.minimum.reduceat(x, starts, axis=0)
-                    docs = dc[starts]  # unique within the chunk
-                    sigs[docs] = np.minimum(sigs[docs], mins)
+                if not d.size:
+                    continue
+                d += i0
+                u, inv = np.unique(h, return_inverse=True)
+                if 0 < u.size <= _PERMUTE_UNIQUE_CAP:
+                    fold_gather(u, inv, d, sigs)
+                else:
+                    fold_direct(h, d, sigs)
             yield pd.DataFrame(
                 {
                     id_col: ids,

