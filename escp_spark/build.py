@@ -1370,15 +1370,21 @@ def build_index(
     # worst bin (see _balanced_shuffle_partitions) — scoped to this
     # stage only; every other query keeps the session's sizing.
     seg_conf = dict(_GROUP_SCAN_CONF)
-    seg_conf["spark.sql.shuffle.partitions"] = str(
-        _balanced_shuffle_partitions(
-            [
-                [b for b in range(n_buckets) if b % n_groups == g]
-                for g in range(n_groups)
-            ],
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    # Scale gate (A/B-measured): below ~2000 docs/bucket a kernel is
+    # ~50 ms and the straggler the planner removes is smaller than the
+    # extra empty-task/file overhead it adds (sf0.1: planner 7.36 s vs
+    # default 6.94 s; sf1.0: planner ≈1.5-2 s FASTER) — the override
+    # only engages when per-bucket work dominates scheduling.
+    if sum(grp_counts.values()) >= 2000 * n_buckets:
+        seg_conf["spark.sql.shuffle.partitions"] = str(
+            _balanced_shuffle_partitions(
+                [
+                    [b for b in range(n_buckets) if b % n_groups == g]
+                    for g in range(n_groups)
+                ],
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            )
         )
-    )
     with _scoped_conf(spark, seg_conf):
         _run_segment_groups(
             spark, pending, _run_group, fail_after_groups, concurrent_groups

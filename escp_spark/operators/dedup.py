@@ -517,29 +517,35 @@ def minhash_near_dups_sql(doc_filter: str = "doc_id % 10 = 0",
 # SimHash (pure Catalyst expression, SQL-reproducible)
 # ---------------------------------------------------------------------------
 
-def _bit_expr(engine: str, term: str, i: int) -> str:
+def _bit_expr(engine: str, term: str, i: int, md5_col: str | None = None) -> str:
     """Bit i of a 32-bit md5-derived token hash, as portable SQL:
-    hex digit value via strpos('0123456789abcdef', ch) - 1."""
+    hex digit value via strpos('0123456789abcdef', ch) - 1. With
+    ``md5_col`` the hash is read from an already-projected md5 column
+    instead of being recomputed per bit (r07: the inline form makes the
+    optimizer evaluate md5(term) n_bits times per row)."""
     j = i // 4 + 1          # 1-based hex char position
     k = 3 - (i % 4)         # bit within the nibble
+    src = md5_col if md5_col is not None else f"md5({term})"
     if engine == "spark":
-        ch = f"substring(md5({term}), {j}, 1)"
+        ch = f"substring({src}, {j}, 1)"
         val = f"(instr('0123456789abcdef', {ch}) - 1)"
     else:
-        ch = f"substring(md5({term}), {j}, 1)"
+        ch = f"substring({src}, {j}, 1)"
         val = f"(strpos('0123456789abcdef', {ch}) - 1)"
     return f"(floor({val} / {1 << k}) % 2)"
 
 
 def simhash_sql(engine: str, term_col: str = "term", weight_col: str = "tf",
-                n_bits: int = 32) -> str:
+                n_bits: int = 32, md5_col: str | None = None) -> str:
     """The SimHash aggregate as a SQL expression over (term, weight) rows:
     Σ_i [ Σ_terms w·(2·bit_i − 1) ≥ 0 ] · 2^i. Identical text in Spark SQL
     and DuckDB (md5 + strpos/instr are common), which is what makes the
-    operator oracle-checkable."""
+    operator oracle-checkable. ``md5_col`` (engine side only — the
+    DuckDB oracle text stays the frozen inline form) substitutes a
+    pre-projected md5 column; bit values are unchanged."""
     parts = []
     for i in range(n_bits):
-        bit = _bit_expr(engine, term_col, i)
+        bit = _bit_expr(engine, term_col, i, md5_col)
         parts.append(
             f"(CASE WHEN sum({weight_col} * (2 * {bit} - 1)) >= 0 "
             f"THEN {1 << i} ELSE 0 END)"
@@ -549,14 +555,22 @@ def simhash_sql(engine: str, term_col: str = "term", weight_col: str = "tf",
 
 def simhash_expr(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:
-    """(id, simhash) — tf-weighted SimHash computed entirely JVM-side."""
+    """(id, simhash) — tf-weighted SimHash computed entirely JVM-side.
+
+    md5(term) is projected ONCE per (doc, term) row (r07): the inline
+    per-bit form re-evaluated the hash n_bits times per row inside the
+    aggregate — 32 md5 calls per distinct (doc, term) at 100 TB scale.
+    Bit extraction then reads the projected column; values identical
+    (md5 is deterministic), so the DuckDB oracle is untouched."""
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
         ).alias("term"),
-    ).groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    agg = F.expr(simhash_sql("spark", "term", "tf", n_bits))
+    ).groupBy(id_col, "term").agg(F.count("*").alias("tf")).withColumn(
+        "__h", F.md5("term")
+    )
+    agg = F.expr(simhash_sql("spark", "term", "tf", n_bits, md5_col="__h"))
     return toks.groupBy(id_col).agg(agg.cast("long").alias("simhash"))
 
 
