@@ -828,6 +828,29 @@ def _batch_reader(index_dir: str) -> "IndexReader":
 # returned DataFrame is a local relation, so plan + score + cut ≈ wall.
 last_batch_timings: dict = {}
 
+
+def _maybe_dump_plan(df, name: str) -> None:
+    """Opt-in plan capture (ESCP_DUMP_PLAN_DIR=dir): writes the
+    formatted physical plan of an internal batch-path DataFrame so plan
+    evidence for the non-declared paths can be committed (plans/r07).
+    Zero cost when the env var is unset."""
+    d = os.environ.get("ESCP_DUMP_PLAN_DIR")
+    if not d:
+        return
+    try:
+        spark = df.sparkSession
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{name}.txt"), "w") as f:
+            f.write(txt)
+    except Exception:
+        pass
+
+
 def search_topk_spark(spark, index_dir: str, queries: list[dict]):
     """Distributed batch scoring of a query set → DataFrame
     (query_id int, rank int, doc_url string, score double).
@@ -1101,6 +1124,7 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
             .withColumn("rk", F.rank().over(w_q))  # rank() keeps ties
             .filter(F.col("rk") <= F.col("k"))
         )
+        _maybe_dump_plan(cand, "bm25_batch_smallcut")
         with _scoped_conf(spark, scan_conf):
             cand_rows = cand.select(
                 "query_id", "doc_id", "score", "k"
@@ -1168,6 +1192,7 @@ def search_topk_spark(spark, index_dir: str, queries: list[dict]):
                 .filter(F.col("score") >= F.col("thr"))
                 .join(F.broadcast(kdf), "query_id")
             )
+            _maybe_dump_plan(cand, "bm25_batch_bigcut")
             # (Same scoped split conf as the threshold job: if the cached
             # scores were evicted this collect re-runs the scan.)
             with _scoped_conf(spark, scan_conf):

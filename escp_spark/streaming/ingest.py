@@ -415,7 +415,12 @@ def _stats_and_publish(spark: SparkSession, layout: IndexLayout,
     from ..build import INDEX_LAYOUT_VERSION
     from ..codec import BLOCK_SIZE, CODEC_VERSION
 
-    n_docs = spark.read.parquet(layout.docmap).count()
+    # Doc count from parquet footers (driver-side metadata, exact) —
+    # not a Spark scan job per (re)publish (r07, same change as the
+    # batch build's shuffle_counts).
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(layout.docmap, format="parquet").count_rows()
     if total_tokens is None:
         total_tokens = (
             spark.read.parquet(layout.dictionary).agg(F.sum("cf"))
