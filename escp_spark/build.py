@@ -465,6 +465,12 @@ def _balanced_shuffle_partitions(key_groups: list[list[int]],
     segment/docmap jobs see only that group's buckets). Beyond 3× the
     empty-task scheduling overhead outweighs the remaining load-2 tail.
     """
+    # With keys ≫ bins the hash balance is already smooth (relative load
+    # variance ~ 1/sqrt(keys/bins)) and the scan would cost O(n·keys)
+    # driver time for nothing — the straggler this fixes only exists
+    # when #keys per group is O(bins).
+    if min((len(ks) for ks in key_groups if ks), default=0) >= 8 * default_n:
+        return default_n
     hashed = [[_murmur3_int32(k) for k in ks] for ks in key_groups if ks]
     if not hashed:
         return default_n
