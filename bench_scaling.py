@@ -425,16 +425,74 @@ def _detail_table(r8: dict, r32: dict, lo: int, hi: int) -> str:
         f"| {f_o:.1f} |"
     )
     return (
-        "\n\n## Build fixed-cost decomposition "
+        "\n\n## Build NON-SCALING-component decomposition "
         "(driver-wall sub-steps, fastest build per level)\n\n"
         f"Solving T = P/cores + f per sub-step on the local[{lo}]/"
-        f"local[{hi}] walls; f is the parallelism-independent component "
-        "— the Amdahl term that caps small-corpus scaling efficiency "
-        "and vanishes as a fraction at production corpus sizes.\n\n"
-        f"| sub-step | local[{lo}] (s) | local[{hi}] (s) | fixed f (s) |\n"
+        f"local[{hi}] walls. **f here is NOT a fixed driver-side serial "
+        "term** (VERDICT r06 wrong-#1, corrected): across corpus sizes "
+        "the inferred f GROWS with the data (27 s at 2M docs → 174 s at "
+        "8M), and most of it sits inside embarrassingly parallel "
+        "distributed stages — it is anti-scaling distributed work "
+        "(host memory contention + the one shared disk; see the Host "
+        "calibration section), not driver cost.\n\n"
+        f"| sub-step | local[{lo}] (s) | local[{hi}] (s) | non-scaling f (s) |\n"
         "|---|---|---|---|\n" + "\n".join(rows) +
         f"\n| **total inferred f** | | | **{f_total:.1f}** |"
     )
+
+
+def _hostcal_section() -> str:
+    """Host-calibration section from BENCH_hostcal.json (written by
+    bench_hostcal.py — the Spark-free 2-vs-8-process experiment VERDICT
+    r06 next-#1 asked for). Empty when the calibration has not been run
+    on this tree."""
+    p = os.path.join(REPO, "BENCH_hostcal.json")
+    if not os.path.exists(p):
+        return ""
+    rows, effs = [], []
+    try:
+        with open(p) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "kernel_docs_per_sec_per_proc" in rec:
+                    rows.append(rec)
+                elif any(k.startswith("kernel_per_proc_eff") for k in rec):
+                    effs.append(rec)
+    except Exception:
+        return ""
+    if not rows:
+        return ""
+    body = "\n".join(
+        f"| {r['width']} | {r['kernel_docs_per_sec_per_proc']:,.0f} "
+        f"| {r['proxy_gbps_per_proc']:.2f} |"
+        for r in rows
+    )
+    eff_line = "; ".join(
+        ", ".join(f"{k}={v}" for k, v in rec.items() if k != "width")
+        + f" (width {rec['width']})"
+        for rec in effs
+    )
+    return f"""
+
+## Host calibration (Spark-free — bench_hostcal.py, BENCH_hostcal.json)
+
+The per-bucket segment-kernel body run as W INDEPENDENT OS processes
+(no Spark, no shuffle, no JVM) plus a pure-numpy memory-bandwidth
+proxy, kernel-only walls:
+
+| width | kernel docs/s/process | proxy GB/s/process |
+|---|---|---|
+{body}
+
+Per-process efficiencies: {eff_line}.
+
+Interpretation: the compute-only host ceiling at 8-wide is ~0.81-0.86;
+a Spark record's per-stage efficiency below that reflects the
+additional byte-moving contention (shuffle/scan/write through the one
+shared disk, workers co-resident with the JVM), and ratios measured at
+32-wide are dominated by the box (even the pure-numpy proxy
+anti-scales there). ≥0.8 end-to-end is not reachable on this host for
+I/O-bearing phases."""
 
 
 def write_outputs(result: dict, levels: tuple, repeats: int) -> None:
@@ -499,7 +557,7 @@ N: {r8.get('all_build_sec')} / {r8.get('all_query_sec')} (firsts {r8.get('all_qu
         f"{(r8['build_stages'].get(k, 0) / (4 * r32['build_stages'][k])):.2f} |"
         for k in r32.get("build_stages", {})
         if r32["build_stages"].get(k)
-    ) + _detail_table(r8, r32, lo, hi) + f"""
+    ) + _detail_table(r8, r32, lo, hi) + _hostcal_section() + f"""
 
 ## Why this holds at 10^12 docs
 
@@ -520,20 +578,23 @@ N: {r8.get('all_build_sec')} / {r8.get('all_query_sec')} (firsts {r8.get('all_qu
   ONE shared disk this box has — shuffle spill + index write bandwidth —
   which on a real cluster scales with the number of executors and their
   disks.
-- Fixed driver-side costs (job scheduling, ledger commits, manifest) are
-  seconds and independent of data size — they shrink toward zero as a
-  fraction at larger scale, so measured efficiency here is a lower bound.
+- Truly driver-side costs (job scheduling, ledger commits, manifest,
+  merge placement, sidecar) measure a few seconds and shrink as a
+  fraction at scale. Remaining sub-linearity in these records is NOT
+  those: it is uniform per-core degradation of the distributed stages
+  at higher worker counts on this shared-memory/one-disk host (see the
+  decomposition note and Host calibration above) — on a real cluster
+  those stages get their own memory buses and disks per executor.
 
 Raw JSON: see BENCH_scaling.json (historical records under their own
-keys: `record_2m` is the same workload at 2M docs on the same code —
-after the codec rework its ratios sit on the corpus-size Amdahl floor,
-build 0.664 / query 0.682, NOT engine sublinearity: solving
-T = P/cores + f on its measured walls gives P ≈ 269 task core-seconds
-with f ≈ 27 s of parallelism-independent cost (corpus scan + ledger +
-merge placement + query planning), and the SAME f against this record's
-4× larger P predicts the efficiencies measured here. The engine getting
-2.6× faster shrank P while f stayed — the ratio floor moved up a corpus
-size, exactly as the round-4 500k diagnostic documented.)
+keys: `record_2m` is the same workload at 2M docs, build 0.664 /
+query 0.682. The corpus-size-Amdahl model fitted to it (P ≈ 269
+core-s, f ≈ 27 s) predicted 0.87/0.88 at 8M and was REFUTED by
+record_8m's measured 0.54/0.69 (VERDICT r06 wrong-#1): the inferred f
+grew 27 s → 174 s on a 4× corpus, so the "fixed cost" story does not
+explain the 8M loss — the loss is per-core throughput degradation at
+higher worker counts, calibrated Spark-free in the Host calibration
+section.)
 
 ## Round-4 headline attribution (VERDICT r03 #1)
 

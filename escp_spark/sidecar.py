@@ -245,7 +245,11 @@ def write_rg_sidecar(layout, spark=None) -> int:
         (
             # ≥64 files per scan task: above the (large) driver cutoff
             # the per-file footer read is the work unit, and 1-file
-            # tasks would pay worker spin-up per footer.
+            # tasks would pay worker spin-up per footer. (The max(16,..)
+            # floor is unreachable on the real path — n_files > 4096
+            # implies n_files // 64 >= 64 — it exists only for the
+            # mocked-cutoff test, where it keeps a few near-empty
+            # partitions instead of one; ADVICE r06.)
             fdf.repartition(max(16, min(256, n_files // 64)))
             .mapInPandas(scan, out_schema)
             .write.mode("overwrite")
